@@ -1,0 +1,242 @@
+"""Pure-Python/NumPy string-similarity kernels.
+
+These reproduce the scorer semantics the reference pipeline depends on
+(rapidfuzz ``fuzz.ratio`` / ``fuzz.token_set_ratio`` used at
+``/root/reference/tools/fuzzy_match.py:88-94,132`` and the jellyfish
+``jaro_winkler`` used via recordlinkage at
+``/root/reference/tools/recordlinkage_funcs.py:62-66``), implemented from
+the published algorithm definitions (Indel/LCS bit-parallelism per Hyyro
+2004; Jaro-Winkler per Winkler 1990).  rapidfuzz/jellyfish are not
+available in this environment, and on a cluster we want a dependency-free
+kernel importable inside Arrow-batched pandas UDFs.
+
+Design notes for scale:
+  * no per-call allocation beyond small dicts; bit-parallel LCS is O(n*m/64)
+  * batch entry points (`token_set_ratio_batch`, ...) deduplicate repeated
+    strings within an Arrow batch (blocks repeat the same reference rows
+    many times), so the per-unique-pair kernel runs once per distinct pair.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "indel_distance",
+    "ratio",
+    "token_set_ratio",
+    "token_set_ratio_cutoff",
+    "jaro_similarity",
+    "jaro_winkler_similarity",
+    "levenshtein",
+    "ratio_batch",
+    "token_set_ratio_batch",
+    "jaro_winkler_batch",
+]
+
+
+def _lcs_len(a: str, b: str) -> int:
+    """Length of the longest common subsequence (bit-parallel, Hyyro 2004)."""
+    m = len(a)
+    n = len(b)
+    if m == 0 or n == 0:
+        return 0
+    if m > n:
+        a, b = b, a
+        m, n = n, m
+    # positional bitmask per character of the shorter string
+    pm: dict[str, int] = {}
+    bit = 1
+    for ch in a:
+        pm[ch] = pm.get(ch, 0) | bit
+        bit <<= 1
+    mask = (1 << m) - 1
+    s = mask
+    for ch in b:
+        matches = pm.get(ch)
+        if matches:
+            u = s & matches
+            s = ((s + u) | (s - u)) & mask
+    # zero bits mark LCS positions
+    return m - bin(s).count("1")
+
+
+def indel_distance(a: str, b: str) -> int:
+    """Insert/delete edit distance = len(a)+len(b)-2*LCS."""
+    return len(a) + len(b) - 2 * _lcs_len(a, b)
+
+
+def ratio(a: str, b: str) -> float:
+    """rapidfuzz ``fuzz.ratio``: normalized Indel similarity * 100."""
+    lensum = len(a) + len(b)
+    if lensum == 0:
+        return 100.0
+    return (lensum - indel_distance(a, b)) * 100.0 / lensum
+
+
+def token_set_ratio(s1: str, s2: str) -> float:
+    """rapidfuzz ``fuzz.token_set_ratio`` (no preprocessing).
+
+    Tokenise on whitespace into sets; if one token set is a subset of the
+    other (with non-empty intersection) the score is 100; otherwise the max
+    of ratio(diff_ab, diff_ba) and two sect-vs-sect+diff similarities where
+    the distance is purely the appended-suffix length.
+    """
+    tokens_a = set(s1.split())
+    tokens_b = set(s2.split())
+    if not tokens_a or not tokens_b:
+        return 0.0
+    intersect = tokens_a & tokens_b
+    diff_ab = tokens_a - tokens_b
+    diff_ba = tokens_b - tokens_a
+    if intersect and (not diff_ab or not diff_ba):
+        return 100.0
+    diff_ab_joined = " ".join(sorted(diff_ab))
+    diff_ba_joined = " ".join(sorted(diff_ba))
+    ab_len = len(diff_ab_joined)
+    ba_len = len(diff_ba_joined)
+    sect_len = len(" ".join(intersect))
+    sect_ab_len = sect_len + (1 if sect_len else 0) + ab_len
+    sect_ba_len = sect_len + (1 if sect_len else 0) + ba_len
+    result = ratio(diff_ab_joined, diff_ba_joined)
+    sect_ab_dist = (1 if sect_len else 0) + ab_len
+    sect_ab_ratio = (1.0 - sect_ab_dist / (sect_len + sect_ab_len)) * 100.0
+    sect_ba_dist = (1 if sect_len else 0) + ba_len
+    sect_ba_ratio = (1.0 - sect_ba_dist / (sect_len + sect_ba_len)) * 100.0
+    return max(result, sect_ab_ratio, sect_ba_ratio)
+
+
+def token_set_ratio_cutoff(s1: str, s2: str, cutoff: float) -> float:
+    """token_set_ratio with rapidfuzz ``score_cutoff`` semantics: scores
+    below the cutoff collapse to 0 (``process.cdist(score_cutoff=...)``,
+    reference ``tools/fuzzy_match.py:88,94``)."""
+    score = token_set_ratio(s1, s2)
+    return score if score >= cutoff else 0.0
+
+
+def jaro_similarity(s1: str, s2: str) -> float:
+    """Classic Jaro similarity in [0, 1] (jellyfish-compatible)."""
+    len1 = len(s1)
+    len2 = len(s2)
+    if len1 == 0 or len2 == 0:
+        return 0.0
+    search_range = max(len1, len2) // 2 - 1
+    if search_range < 0:
+        search_range = 0
+    flags1 = [False] * len1
+    flags2 = [False] * len2
+    matches = 0
+    for i, ch in enumerate(s1):
+        lo = i - search_range if i > search_range else 0
+        hi = i + search_range + 1
+        if hi > len2:
+            hi = len2
+        for j in range(lo, hi):
+            if not flags2[j] and s2[j] == ch:
+                flags1[i] = True
+                flags2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    transpositions = 0
+    j = 0
+    for i in range(len1):
+        if flags1[i]:
+            while not flags2[j]:
+                j += 1
+            if s1[i] != s2[j]:
+                transpositions += 1
+            j += 1
+    half_t = transpositions // 2
+    m = float(matches)
+    return (m / len1 + m / len2 + (m - half_t) / m) / 3.0
+
+
+def jaro_winkler_similarity(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
+    """Jaro-Winkler in [0, 1]: prefix boost (<=4 chars) applied when the
+    Jaro score exceeds the 0.7 boost threshold (jellyfish-compatible, as
+    used by recordlinkage in the reference NN pass)."""
+    jaro = jaro_similarity(s1, s2)
+    if jaro > 0.7:
+        prefix = 0
+        for c1, c2 in zip(s1, s2):
+            if c1 != c2 or prefix == 4:
+                break
+            prefix += 1
+        jaro += prefix_weight * prefix * (1.0 - jaro)
+    return jaro
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Levenshtein distance (unit costs), iterative two-row DP."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    if len(a) > len(b):
+        a, b = b, a
+    prev = list(range(len(a) + 1))
+    for j, cb in enumerate(b, 1):
+        cur = [j]
+        for i, ca in enumerate(a, 1):
+            cost = 0 if ca == cb else 1
+            cur.append(min(prev[i] + 1, cur[i - 1] + 1, prev[i - 1] + cost))
+        prev = cur
+    return prev[-1]
+
+
+def _pair_codes(left, right):
+    """Factorize two object arrays into unique-pair codes so each distinct
+    (left, right) string pair is scored once per batch."""
+    import pandas as pd
+
+    lcodes, _luniq = pd.factorize(left)
+    rcodes, _runiq = pd.factorize(right)
+    key = lcodes.astype(np.int64) * (rcodes.max() + 1 if len(rcodes) else 1) + rcodes
+    pair_codes, pair_uniq = pd.factorize(key)
+    return lcodes, rcodes, _luniq, _runiq, pair_codes, pair_uniq
+
+
+def _batch_apply(left, right, fn) -> np.ndarray:
+    """Apply a per-pair kernel over two aligned object arrays, computing
+    each distinct pair only once."""
+    import pandas as pd
+
+    left = np.asarray(left, dtype=object)
+    right = np.asarray(right, dtype=object)
+    n = len(left)
+    out = np.empty(n, dtype=np.float64)
+    if n == 0:
+        return out
+    lcodes, luniq = pd.factorize(left)
+    rcodes, runiq = pd.factorize(right)
+    width = len(runiq) if len(runiq) else 1
+    key = lcodes.astype(np.int64) * width + rcodes
+    pair_codes, pair_keys = pd.factorize(key)
+    uniq_scores = np.empty(len(pair_keys), dtype=np.float64)
+    for k, pk in enumerate(pair_keys):
+        li = int(pk) // width
+        ri = int(pk) % width
+        a = luniq[li]
+        b = runiq[ri]
+        a = "" if a is None else str(a)
+        b = "" if b is None else str(b)
+        uniq_scores[k] = fn(a, b)
+    return uniq_scores[pair_codes]
+
+
+def ratio_batch(left, right) -> np.ndarray:
+    return _batch_apply(left, right, ratio)
+
+
+def token_set_ratio_batch(left, right, cutoff: float | None = None) -> np.ndarray:
+    if cutoff is None:
+        return _batch_apply(left, right, token_set_ratio)
+    return _batch_apply(left, right, lambda a, b: token_set_ratio_cutoff(a, b, cutoff))
+
+
+def jaro_winkler_batch(left, right) -> np.ndarray:
+    return _batch_apply(left, right, jaro_winkler_similarity)
