@@ -1,0 +1,85 @@
+"""Pairwise scoring operators — the only Python in the hot path, as
+Arrow-batched vectorized pandas UDFs (never per-row Python UDFs).
+
+Reproduces the reference's scorer surface:
+  P1 token_set_ratio with score_cutoff (tools/fuzzy_match.py:88-94)
+  P2 plain ratio tie-breaker (tools/fuzzy_match.py:296-308)
+  P3 Jaro-Winkler per-field similarity (tools/recordlinkage_funcs.py:62-66)
+  P4 Levenshtein — built-in Spark SQL ``levenshtein`` (no UDF needed)
+  P5 exact compare — plain column equality
+
+Scale notes: the kernels release no GIL but each Spark task runs its own
+Python worker, so parallelism comes from partitioning (the reference used
+``workers=-1`` inside one process; we shard across tasks instead —
+tools/fuzzy_match.py:88 note in SURVEY §2.8/X5).  The batch kernels
+deduplicate repeated strings within an Arrow batch, which mirrors the
+reference's per-block cdist reuse of the small side.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from address_matcher_spark import kernels as K
+
+FUZZY_MATCH_LIMIT = 85.0  # tools/constants.py:39
+NO_NUMBER_FUZZY_MATCH_LIMIT = 100.0  # tools/constants.py:235
+
+
+def make_token_set_ratio_udf(cutoff: float | None = FUZZY_MATCH_LIMIT):
+    """P1: vectorized token_set_ratio with cutoff-pushdown inside the batch
+    kernel (scores below cutoff collapse to 0, per process.cdist)."""
+
+    @F.pandas_udf(DoubleType())
+    def tsr(left: pd.Series, right: pd.Series) -> pd.Series:
+        return pd.Series(
+            K.token_set_ratio_batch(
+                left.fillna("").to_numpy(dtype=object),
+                right.fillna("").to_numpy(dtype=object),
+                cutoff,
+            )
+        )
+
+    return tsr
+
+
+@F.pandas_udf(DoubleType())
+def ratio_udf(left: pd.Series, right: pd.Series) -> pd.Series:
+    """P2: plain Indel ratio (the reference's misnamed 'wratio' tie-break
+    uses fuzz.ratio — tools/fuzzy_match.py:298)."""
+    return pd.Series(
+        K.ratio_batch(
+            left.fillna("").to_numpy(dtype=object),
+            right.fillna("").to_numpy(dtype=object),
+        )
+    )
+
+
+@F.pandas_udf(DoubleType())
+def jaro_winkler_udf(left: pd.Series, right: pd.Series) -> pd.Series:
+    """P3: Jaro-Winkler similarity in [0,1] (jellyfish-compatible)."""
+    return pd.Series(
+        K.jaro_winkler_batch(
+            left.fillna("").to_numpy(dtype=object),
+            right.fillna("").to_numpy(dtype=object),
+        )
+    )
+
+
+def levenshtein_similarity(left: Column, right: Column) -> Column:
+    """P4: recordlinkage's normalized levenshtein similarity
+    (1 - dist/max(len)) using the built-in JVM levenshtein."""
+    maxlen = F.greatest(F.length(left), F.length(right))
+    return F.when(maxlen == 0, F.lit(0.0)).otherwise(
+        1.0 - F.levenshtein(left, right) / maxlen
+    )
+
+
+def exact_similarity(left: Column, right: Column) -> Column:
+    """P5: exact compare with missing→0 (tools/recordlinkage_funcs.py:57-59)."""
+    return F.when(left.isNull() | right.isNull(), F.lit(0.0)).otherwise(
+        (left == right).cast("double")
+    )

@@ -1,0 +1,287 @@
+"""The end-to-end matching pipeline: the reference's 4-pass waterfall
+(tools/matcher_funcs.py:988-1074) rebuilt as Spark job DAGs.
+
+Flow per EP1 (SURVEY §3):
+  pages → extract text (native exprs) → search side
+  LPI reference → fulladdress assembly → reference side
+  both → minimal + full standardisation (one DataFrame each, reused by all
+  passes — the reference's four standing datasets, tools/matcher_funcs.py:752-772)
+  waterfall: fuzzy(min, postcode) → fuzzy(min, street) → fuzzy(full,
+  postcode) → fuzzy(full, street) → fieldwise(min) → fieldwise(full),
+  each pass attempting only records the previous passes failed (anti-join
+  F1, tools/matcher_funcs.py:83-109), combined with the W2 window dedup.
+  matched pairs → connected components → clusters.
+
+Scale: blocking joins are equi-joins with semi-join prefilter + optional
+measured salting (operators/blocking.py); scoring is Arrow-batched pandas
+UDFs; everything else is codegen'd expressions and windows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from address_matcher_spark.functions import extract as X
+from address_matcher_spark.functions import standardise as S
+from address_matcher_spark.operators import blocking, scoring, select, verify
+from address_matcher_spark.operators.fieldmatch import field_pass
+from address_matcher_spark.sources.checkpoint import CheckpointStore
+
+
+@dataclass
+class MatchConfig:
+    fuzzy_match_limit: float = 85.0         # tools/constants.py:39
+    no_number_fuzzy_match_limit: float = 100.0  # tools/constants.py:235
+    score_cut_off: float = 98.7             # tools/constants.py:231
+    score_cut_off_street: float = 99.5      # tools/constants.py:233
+    salt: int = 0                           # 0 → measure via choose_salt
+    salt_target_rows: int = 5000
+    broadcast_ref: bool | None = None       # None → let AQE decide
+    run_field_passes: bool = True
+    address_cols: tuple = ("address_line1", "address_line2", "town")
+    postcode_col: str = "postcode"
+
+
+SEARCH_FIELDS = [f"{f}_search" for f in verify.FIELDS]
+REF_FIELDS = [f"{f}_reference" for f in verify.FIELDS]
+
+
+# ---------------------------------------------------------------------------
+# side preparation
+# ---------------------------------------------------------------------------
+
+
+def search_from_pages(pages: DataFrame) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) → search rows with a stable
+    record_id derived from url (SURVEY §1.4: monotonically_increasing_id is
+    unstable across recompute — hash the natural key instead)."""
+    text = X.extract_text(F.col("html"))
+    return pages.select(
+        F.xxhash64(F.col("url")).alias("record_id"),
+        F.col("url"),
+        X.first_address_line(text).alias("address_line1"),
+        F.lit("").alias("address_line2"),
+        X.page_town(text).alias("town"),
+        X.page_postcode(text).alias("postcode"),
+    )
+
+
+def prepare_search(df: DataFrame, cfg: MatchConfig) -> DataFrame:
+    """T3/T4 + F2/F5/F6 + T7: clean/join address cols, exclusion flags,
+    blocking key (tools/preparation.py:53-118, tools/standardise.py:19-36)."""
+    cleaned = []
+    for c in cfg.address_cols:
+        col = F.coalesce(F.col(c).cast("string"), F.lit(""))
+        col = F.regexp_replace(col, r"nan", "")
+        col = F.regexp_replace(col, r"\s{2,}", " ")
+        col = F.regexp_replace(col, r",", " ")
+        cleaned.append(F.trim(col))
+    full_address = F.trim(
+        F.regexp_replace(F.concat_ws(" ", *cleaned), r"\s{2,}", " ")
+    )
+    out = (
+        df.withColumn("full_address", full_address)
+        .withColumn("postcode", F.coalesce(F.col(cfg.postcode_col).cast("string"), F.lit("")))
+        .filter(F.length(F.trim(F.col("full_address"))) > 0)  # F2
+        .withColumn("excluded", S.exclusion_flag(F.col("full_address")))
+        .withColumn("full_address_search", S.full_address_search(F.col("full_address")))
+        .withColumn(
+            "postcode_search",
+            F.when(
+                F.col("excluded") == "Excluded - non-postal address", F.lit("")
+            ).otherwise(S.postcode_search_key(F.col("postcode"))),
+        )
+        .withColumn(
+            "street_key",
+            F.when(
+                F.col("excluded") == "Excluded - non-postal address", F.lit("")
+            ).otherwise(S.extract_street_name(F.col("full_address_search"))),
+        )
+    )
+    return out
+
+
+def prepare_reference(df: DataFrame) -> DataFrame:
+    """LPI columns → fulladdress (T5/T6) + blocking keys
+    (tools/preparation.py:172-237)."""
+    scrubbed = {}
+    for c in S._LPI_COLS:
+        col = F.coalesce(F.col(c).cast("string"), F.lit(""))
+        col = F.regexp_replace(col, r"nan", "")
+        col = F.regexp_replace(col, r"\.0", "")
+        scrubbed[c] = col
+    full = S.clean_fulladdress(S.create_full_address(scrubbed))
+    return (
+        df.filter(F.col("Postcode").isNotNull())
+        .withColumn("fulladdress", full)
+        .withColumn("full_address_search", S.full_address_search(F.col("fulladdress")))
+        .withColumn("postcode_search", S.postcode_search_key(F.col("Postcode")))
+        .withColumn("street_key", F.upper(F.coalesce(F.col("Street"), F.lit(""))))
+    )
+
+
+def standardise_search(df: DataFrame, standardise_flag: bool) -> DataFrame:
+    out = S.standardise_address_df(
+        df, "full_address_search", "search_mod_address", standardise_flag
+    )
+    for f in verify.FIELDS:
+        out = out.withColumnRenamed(f, f"{f}_search")
+    return out.select(
+        "record_id", "url", "full_address", "postcode", "postcode_search",
+        "street_key", "excluded", "search_mod_address", *SEARCH_FIELDS,
+    )
+
+
+def standardise_reference(df: DataFrame, standardise_flag: bool) -> DataFrame:
+    out = S.standardise_address_df(
+        df, "full_address_search", "reference_mod_address", standardise_flag
+    )
+    for f in verify.FIELDS:
+        out = out.withColumnRenamed(f, f"{f}_reference")
+    # LPI source columns ride along for the field-wise pass (J5 compares
+    # them directly; strings only, cheap relative to the pair fan-out)
+    lpi = [c for c in S._LPI_COLS if c != "Postcode"]
+    return out.select(
+        "ref_id", "UPRN", "fulladdress",
+        F.col("Postcode"), "postcode_search",
+        "street_key", "reference_mod_address", *REF_FIELDS, *lpi,
+    )
+
+
+# ---------------------------------------------------------------------------
+# one fuzzy pass (postcode- or street-blocked)
+# ---------------------------------------------------------------------------
+
+
+def fuzzy_pass(
+    search_std: DataFrame,
+    ref_std: DataFrame,
+    blocker: str,
+    cfg: MatchConfig,
+    pass_name: str,
+) -> DataFrame:
+    """J1/J2 + P1 + J6 + D1-D7 + P2 + W1: block-join candidates, score with
+    the vectorized token_set_ratio UDF, shortlist to per-record max, verify,
+    tie-break, pick best.  Returns one row per attempted search record."""
+    key = "postcode_search" if blocker == "Postcode" else "street_key"
+    s = search_std.filter(F.col(key) != "").withColumnRenamed(key, "__bk")
+    r = ref_std.filter(F.col(key) != "").withColumnRenamed(key, "__bk")
+    # drop the other key col to avoid collisions
+    drop_s = {"postcode_search", "street_key"} - {key}
+    s = s.drop(*drop_s)
+    r = r.drop(*({"postcode_search", "street_key"} - {key}))
+    # dedup RHS against join-key fan-out on identical standardised rows (X7)
+    r = r.dropDuplicates(["__bk", "reference_mod_address"])
+
+    salt = cfg.salt
+    if salt == 0:
+        salt = blocking.choose_salt(s, "__bk", cfg.salt_target_rows)
+    pairs = blocking.block_join(
+        s, r, "__bk", salt=salt, salt_id_col="record_id", prefilter=True
+    )
+
+    tsr = scoring.make_token_set_ratio_udf(cfg.fuzzy_match_limit)
+    pairs = pairs.withColumn(
+        "fuzzy_score",
+        tsr(F.col("search_mod_address"), F.col("reference_mod_address")),
+    )
+    # pairs below cutoff score 0 (cdist semantics); they can never win a
+    # shortlist over a real score, and an all-zero record is 'unmatched'
+    # either way — drop them early to keep the shuffle small (X5).
+    pairs = pairs.filter(F.col("fuzzy_score") > 0)
+
+    shortlist = select.keep_max_score(pairs, "record_id")
+    shortlist = verify.add_decisions(
+        shortlist,
+        blocker,
+        cfg.fuzzy_match_limit,
+        cfg.no_number_fuzzy_match_limit,
+    )
+    shortlist = select.add_wratio_tiebreak(shortlist, scoring.ratio_udf)
+    best = select.best_match(shortlist, "record_id")
+    return best.withColumn("match_method", F.lit(pass_name))
+
+
+RESULT_COLS = [
+    "record_id", "url", "full_address", "postcode", "fuzzy_score",
+    "full_match", "full_number_match", "close_postcode_match",
+    "fuzzy_score_match", "wratio_score", "search_mod_address",
+    "reference_mod_address", "fulladdress", "Postcode", "ref_id", "UPRN",
+    "match_method",
+    *[f"{f}_match" for f in verify.FIELDS],
+    *SEARCH_FIELDS, *REF_FIELDS,
+]
+
+
+def _residue(search_std: DataFrame, matched: DataFrame) -> DataFrame:
+    """F1: anti-join away records already matched (tools/matcher_funcs.py:83-109)."""
+    winners = matched.filter(F.col("full_match")).select("record_id")
+    return search_std.join(winners, "record_id", "left_anti")
+
+
+def run_waterfall(
+    search_min: DataFrame,
+    search_full: DataFrame,
+    ref_min: DataFrame,
+    ref_full: DataFrame,
+    cfg: MatchConfig | None = None,
+    store: CheckpointStore | None = None,
+) -> DataFrame:
+    """O3/O4/O5: the full waterfall.  Returns one row per matched-or-
+    attempted search record (best candidate + decisions + method)."""
+    cfg = cfg or MatchConfig()
+    passes: list[DataFrame] = []
+
+    def run_pass(fn, name):
+        out = fn()
+        if store is not None:
+            out = store.write(out.select(*RESULT_COLS), f"pass_{name}")
+        else:
+            out = out.select(*RESULT_COLS).localCheckpoint()
+        passes.append(out)
+        return out
+
+    plan = [
+        ("fuzzy_min_pc", lambda s: fuzzy_pass(s, ref_min, "Postcode", cfg, "fuzzy_min_pc"), search_min),
+        ("fuzzy_min_st", lambda s: fuzzy_pass(s, ref_min, "Street", cfg, "fuzzy_min_st"), search_min),
+        ("fuzzy_full_pc", lambda s: fuzzy_pass(s, ref_full, "Postcode", cfg, "fuzzy_full_pc"), search_full),
+        ("fuzzy_full_st", lambda s: fuzzy_pass(s, ref_full, "Street", cfg, "fuzzy_full_st"), search_full),
+    ]
+    if cfg.run_field_passes:
+        plan += [
+            ("field_min_pc", lambda s: field_pass(s, ref_min, "Postcode", cfg, "field_min_pc"), search_min),
+            ("field_full_pc", lambda s: field_pass(s, ref_full, "Postcode", cfg, "field_full_pc"), search_full),
+        ]
+
+    matched_ids: DataFrame | None = None
+    for name, fn, side in plan:
+        residue = side if matched_ids is None else side.join(
+            matched_ids, "record_id", "left_anti"
+        )
+        # early exit (X2): cheap count on the checkpointed residue
+        out = run_pass(lambda s=residue: fn(s), name)
+        winners = out.filter(F.col("full_match")).select("record_id")
+        matched_ids = winners if matched_ids is None else (
+            matched_ids.unionByName(winners).distinct()
+        )
+        if store is not None:
+            matched_ids = store.write(matched_ids, f"matched_ids_{name}")
+        else:
+            matched_ids = matched_ids.localCheckpoint()
+
+    return select.combine_passes(passes, key="record_id")
+
+
+def match_summary(results: DataFrame) -> DataFrame:
+    """A4: single-pass conditional counts (tools/matcher_funcs.py:1591-1626)."""
+    return results.agg(
+        F.count(F.lit(1)).alias("attempted"),
+        F.count(F.when(F.col("full_match"), 1)).alias("matched"),
+        F.count(F.when(~F.col("full_match"), 1)).alias("not_matched"),
+        F.round(
+            100 * F.count(F.when(F.col("full_match"), 1)) / F.count(F.lit(1)), 1
+        ).alias("match_rate_pct"),
+    )

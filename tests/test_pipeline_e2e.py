@@ -1,0 +1,122 @@
+"""End-to-end pipeline tests: pairwise F1 ≥ 0.99 on the labeled fixture
+pairs (BASELINE.json north_rule), waterfall semantics, html→text
+byte-identity, and the matched/unmatched split."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from address_matcher_spark import datagen
+from address_matcher_spark.functions import extract as X
+from address_matcher_spark.plans import pipeline as P
+
+
+@pytest.fixture(scope="module")
+def fixtures():
+    return datagen.generate(datagen.Scale(n_ref=900, n_search=700))
+
+
+@pytest.fixture(scope="module")
+def sides(spark, fixtures):
+    pages = spark.createDataFrame(fixtures["pages"])
+    search_raw = P.search_from_pages(pages)
+    cfg = P.MatchConfig()
+    search = P.prepare_search(search_raw, cfg)
+    ref = P.prepare_reference(spark.createDataFrame(fixtures["reference_addresses"]))
+    out = {
+        "search_min": P.standardise_search(search, False).cache(),
+        "search_full": P.standardise_search(search, True).cache(),
+        "ref_min": P.standardise_reference(ref, False).cache(),
+        "ref_full": P.standardise_reference(ref, True).cache(),
+        "cfg": cfg,
+    }
+    return out
+
+
+def test_extract_text_byte_identity(spark, fixtures):
+    pages = spark.createDataFrame(fixtures["pages"])
+    diff = pages.select(
+        X.extract_text(F.col("html")).alias("got"), F.col("text").alias("want")
+    ).filter(F.col("got") != F.col("want"))
+    assert diff.count() == 0
+
+
+def test_search_from_pages_roundtrip(spark, fixtures):
+    pages = spark.createDataFrame(fixtures["pages"])
+    got = (
+        P.search_from_pages(pages)
+        .select("url", "address_line1", "postcode")
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    want = (
+        fixtures["search_addresses"][["url", "address_line1", "postcode"]]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.fixture(scope="module")
+def results(sides):
+    res = P.run_waterfall(
+        sides["search_min"], sides["search_full"],
+        sides["ref_min"], sides["ref_full"], sides["cfg"],
+    )
+    return res.toPandas()
+
+
+def test_pairwise_f1(results, fixtures, spark):
+    """F1 over labeled pairs: prediction for (record, ref) = pipeline
+    matched that record to that ref with full_match."""
+    labeled = fixtures["labeled_pairs"]
+    # map search record_id (datagen int) → pipeline record_id (xxhash64(url))
+    url_map = fixtures["search_addresses"][["record_id", "url"]]
+    hashed = (
+        spark.createDataFrame(url_map)
+        .select("record_id", F.xxhash64("url").alias("hashed_id"))
+        .toPandas()
+    )
+    labeled = labeled.merge(hashed, on="record_id")
+    matched = results[results["full_match"]][["record_id", "ref_id"]]
+    pred_pairs = set(zip(matched["record_id"], matched["ref_id"]))
+
+    tp = fp = fn = 0
+    for r in labeled.itertuples():
+        predicted = (r.hashed_id, r.ref_id) in pred_pairs
+        if r.is_match and predicted:
+            tp += 1
+        elif not r.is_match and predicted:
+            fp += 1
+        elif r.is_match and not predicted:
+            fn += 1
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    print(f"tp={tp} fp={fp} fn={fn} precision={precision:.4f} "
+          f"recall={recall:.4f} f1={f1:.4f}")
+    assert f1 >= 0.99, (tp, fp, fn)
+
+
+def test_waterfall_one_row_per_record(results):
+    assert results["record_id"].is_unique
+
+
+def test_distractors_unmatched(results, fixtures, spark):
+    """Search rows with postcodes absent from the reference never match."""
+    labeled_ids = set(fixtures["labeled_pairs"]["record_id"])
+    distractor_urls = set(
+        fixtures["search_addresses"]
+        .loc[~fixtures["search_addresses"]["record_id"].isin(labeled_ids), "url"]
+    )
+    matched_urls = set(results[results["full_match"]]["url"])
+    assert not (matched_urls & distractor_urls)
+
+
+def test_matched_uprn_carried(results):
+    m = results[results["full_match"]]
+    assert m["UPRN"].notna().all()
+    assert m["fulladdress"].notna().all()
