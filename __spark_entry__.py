@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: the full blocking + scoring + verification
+                 waterfall over pseudo-addresses synthesised from the
+                 sf0.001 orders/customer tables (deterministic; exercises
+                 the whole operator stack end-to-end).
+queries()      — one callable per implemented operator (SURVEY.md §2 +
+                 training-data extensions), defined in
+                 address_matcher_spark/plans/driver_queries.py.
+oracle_sql()   — DuckDB-runnable equivalents generated from the same rule
+                 tables as the Spark operators.
 """
 
 from __future__ import annotations
@@ -12,27 +16,69 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: ER waterfall over sf0.001-derived pseudo addresses."""
+    from address_matcher_spark.plans import driver_queries as DQ
+    from address_matcher_spark.plans import pipeline as P
+
+    sf_dir = "/root/testdata/sf0.001"
+    DQ.register_views(spark, sf_dir)
+
+    search_raw = spark.table("er_search").select(
+        F.col("record_id"),
+        F.concat(F.lit("order://"), F.col("record_id").cast("string")).alias("url"),
+        F.col("body").alias("address_line1"),
+        F.lit("").alias("address_line2"),
+        F.lit("london").alias("town"),
+        F.col("postcode"),
+    )
+    ref_raw = spark.table("er_ref").select(
+        F.col("ref_id"),
+        F.lit("").alias("Organisation"),
+        F.lit("").alias("SaoText"),
+        F.lit("").alias("SaoStartNumber"),
+        F.lit("").alias("SaoStartSuffix"),
+        F.lit("").alias("SaoEndNumber"),
+        F.lit("").alias("SaoEndSuffix"),
+        F.lit("").alias("PaoText"),
+        F.col("pao_number").alias("PaoStartNumber"),
+        F.lit("").alias("PaoStartSuffix"),
+        F.lit("").alias("PaoEndNumber"),
+        F.lit("").alias("PaoEndSuffix"),
+        F.upper(F.col("street")).alias("Street"),
+        F.lit("LONDON").alias("PostTown"),
+        F.col("postcode").alias("Postcode"),
+        F.col("ref_id").cast("string").alias("UPRN"),
+    )
+
+    cfg = P.MatchConfig(run_field_passes=False)
+    # keep the synthesized record_id as the stable key (no url re-hash here)
+    search = P.prepare_search(search_raw, cfg)
+    ref = P.prepare_reference(ref_raw)
+    res = P.run_waterfall(
+        P.standardise_search(search, False),
+        P.standardise_search(search, True),
+        P.standardise_reference(ref, False),
+        P.standardise_reference(ref, True),
+        cfg,
+    )
+    return res.select(
+        "record_id", "ref_id", "UPRN", "fuzzy_score", "full_match",
+        "full_number_match", "close_postcode_match", "match_method",
+        "search_mod_address", "reference_mod_address",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from address_matcher_spark.plans.driver_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from address_matcher_spark.plans.driver_queries import ORACLES
+
+    return dict(ORACLES)

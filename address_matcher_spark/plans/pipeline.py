@@ -162,6 +162,7 @@ def fuzzy_pass(
     blocker: str,
     cfg: MatchConfig,
     pass_name: str,
+    salt: int | None = None,
 ) -> DataFrame:
     """J1/J2 + P1 + J6 + D1-D7 + P2 + W1: block-join candidates, score with
     the vectorized token_set_ratio UDF, shortlist to per-record max, verify,
@@ -176,9 +177,8 @@ def fuzzy_pass(
     # dedup RHS against join-key fan-out on identical standardised rows (X7)
     r = r.dropDuplicates(["__bk", "reference_mod_address"])
 
-    salt = cfg.salt
-    if salt == 0:
-        salt = blocking.choose_salt(s, "__bk", cfg.salt_target_rows)
+    if salt is None:
+        salt = cfg.salt or blocking.choose_salt(s, "__bk", cfg.salt_target_rows)
     pairs = blocking.block_join(
         s, r, "__bk", salt=salt, salt_id_col="record_id", prefilter=True
     )
@@ -233,6 +233,20 @@ def run_waterfall(
     """O3/O4/O5: the full waterfall.  Returns one row per matched-or-
     attempted search record (best candidate + decisions + method)."""
     cfg = cfg or MatchConfig()
+    # the four standing datasets are reused by every pass
+    # (tools/matcher_funcs.py:752-772) — persist once
+    for df in (search_min, search_full, ref_min, ref_full):
+        df.persist()
+    # measure the salt factor once per blocking key from the full search
+    # side (residues only shrink, so the initial factor stays sufficient)
+    salt_pc = cfg.salt or blocking.choose_salt(
+        search_min.filter(F.col("postcode_search") != ""),
+        "postcode_search", cfg.salt_target_rows,
+    )
+    salt_st = cfg.salt or blocking.choose_salt(
+        search_min.filter(F.col("street_key") != ""),
+        "street_key", cfg.salt_target_rows,
+    )
     passes: list[DataFrame] = []
 
     def run_pass(fn, name):
@@ -245,10 +259,10 @@ def run_waterfall(
         return out
 
     plan = [
-        ("fuzzy_min_pc", lambda s: fuzzy_pass(s, ref_min, "Postcode", cfg, "fuzzy_min_pc"), search_min),
-        ("fuzzy_min_st", lambda s: fuzzy_pass(s, ref_min, "Street", cfg, "fuzzy_min_st"), search_min),
-        ("fuzzy_full_pc", lambda s: fuzzy_pass(s, ref_full, "Postcode", cfg, "fuzzy_full_pc"), search_full),
-        ("fuzzy_full_st", lambda s: fuzzy_pass(s, ref_full, "Street", cfg, "fuzzy_full_st"), search_full),
+        ("fuzzy_min_pc", lambda s: fuzzy_pass(s, ref_min, "Postcode", cfg, "fuzzy_min_pc", salt_pc), search_min),
+        ("fuzzy_min_st", lambda s: fuzzy_pass(s, ref_min, "Street", cfg, "fuzzy_min_st", salt_st), search_min),
+        ("fuzzy_full_pc", lambda s: fuzzy_pass(s, ref_full, "Postcode", cfg, "fuzzy_full_pc", salt_pc), search_full),
+        ("fuzzy_full_st", lambda s: fuzzy_pass(s, ref_full, "Street", cfg, "fuzzy_full_st", salt_st), search_full),
     ]
     if cfg.run_field_passes:
         plan += [
