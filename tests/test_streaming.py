@@ -1,0 +1,134 @@
+"""Structured Streaming ingest tests: incremental matching equals the
+batch run; url dedup; windowed aggregation; checkpoint-driven resume
+(second AvailableNow run processes only new files)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from address_matcher_spark import datagen
+from address_matcher_spark.plans import pipeline as P
+from address_matcher_spark.streaming import ingest as I
+
+
+@pytest.fixture(scope="module")
+def fx():
+    return datagen.generate(datagen.Scale(n_ref=300, n_search=200))
+
+
+@pytest.fixture(scope="module")
+def ref_sides(spark, fx):
+    ref = P.prepare_reference(spark.createDataFrame(fx["reference_addresses"]))
+    return (
+        P.standardise_reference(ref, False).cache(),
+        P.standardise_reference(ref, True).cache(),
+    )
+
+
+def _write_chunks(spark, fx, in_dir, chunks=2):
+    pages = fx["pages"]
+    n = len(pages)
+    paths = []
+    for i in range(chunks):
+        chunk = pages.iloc[i * n // chunks:(i + 1) * n // chunks]
+        p = os.path.join(in_dir, f"chunk{i}.parquet")
+        spark.createDataFrame(chunk).coalesce(1).write.mode("overwrite").parquet(p + ".tmp")
+        # move parquet part into the watched dir as a single file
+        import glob
+        import shutil
+
+        part = glob.glob(p + ".tmp/part-*.parquet")[0]
+        shutil.move(part, p)
+        shutil.rmtree(p + ".tmp")
+        paths.append(p)
+    return paths
+
+
+def test_incremental_match_equals_batch(spark, fx, ref_sides, tmp_path):
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    _write_chunks(spark, fx, in_dir, chunks=2)
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    cfg = P.MatchConfig(run_field_passes=False)
+
+    stream = I.stream_pages(spark, in_dir, max_files_per_trigger=1)
+    q = I.incremental_match(stream, *ref_sides, out_dir, ckpt, cfg).start()
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out_dir)
+    # batch equivalent over all pages at once
+    pages = spark.createDataFrame(fx["pages"])
+    search = P.prepare_search(P.search_from_pages(pages), cfg)
+    want = P.run_waterfall(
+        P.standardise_search(search, False), P.standardise_search(search, True),
+        *ref_sides, cfg,
+    ).filter(F.col("full_match"))
+
+    got_pairs = {(r.record_id, r.ref_id) for r in got.collect()}
+    want_pairs = {(r.record_id, r.ref_id) for r in want.collect()}
+    assert got_pairs == want_pairs
+    # at least two micro-batches ran (maxFilesPerTrigger=1, 2 files)
+    assert got.select("batch_id").distinct().count() >= 2
+
+
+def test_streaming_resume_processes_only_new_files(spark, fx, ref_sides, tmp_path):
+    in_dir = str(tmp_path / "in2")
+    os.makedirs(in_dir)
+    paths = _write_chunks(spark, fx, in_dir, chunks=2)
+    # hide the second chunk for the first run (outside the watched dir —
+    # the file source reads every file in it regardless of extension)
+    hidden = str(tmp_path / "chunk1.parquet.hidden")
+    os.rename(paths[1], hidden)
+
+    out_dir = str(tmp_path / "out2")
+    ckpt = str(tmp_path / "ckpt2")
+    cfg = P.MatchConfig(run_field_passes=False)
+
+    q = I.incremental_match(
+        I.stream_pages(spark, in_dir), *ref_sides, out_dir, ckpt, cfg
+    ).start()
+    q.awaitTermination(300)
+    n_first = spark.read.parquet(out_dir).count()
+
+    os.rename(hidden, paths[1])
+    q2 = I.incremental_match(
+        I.stream_pages(spark, in_dir), *ref_sides, out_dir, ckpt, cfg
+    ).start()
+    q2.awaitTermination(300)
+    out = spark.read.parquet(out_dir)
+    n_total = out.count()
+    assert n_total > n_first
+    # no record processed twice (checkpoint skipped chunk0 on resume)
+    assert out.groupBy("record_id").count().filter("count > 1").count() == 0
+
+
+def test_windowed_aggregation(spark, fx, tmp_path):
+    in_dir = str(tmp_path / "in3")
+    os.makedirs(in_dir)
+    _write_chunks(spark, fx, in_dir, chunks=1)
+    out = (
+        I.matches_per_window(I.stream_pages(spark, in_dir))
+        .writeStream.format("memory").queryName("win_agg")
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    out.awaitTermination(120)
+    # append mode emits only watermark-closed windows; with a single static
+    # timestamp nothing closes — complete mode check instead
+    out2 = (
+        I.matches_per_window(I.stream_pages(spark, in_dir))
+        .writeStream.format("memory").queryName("win_agg_c")
+        .outputMode("complete").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt4"))
+        .start()
+    )
+    out2.awaitTermination(120)
+    rows = spark.sql("select * from win_agg_c").collect()
+    assert sum(r.n_pages for r in rows) == len(fx["pages"])
+    assert all(r.lang == "en" for r in rows)
