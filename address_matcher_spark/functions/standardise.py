@@ -339,22 +339,36 @@ def standardise_address_df(df, in_col: str, out_col: str, standardise: bool):
     expression and the whole layer remains one codegen'd projection chain.
     """
     tmp = f"__std_{out_col}"
-    df = df.withColumn(tmp, remove_postcode(F.trim(F.col(in_col))))
     if standardise:
-        df = (
-            df.withColumn(tmp, replace_mistaken_dates(F.lower(F.col(tmp))))
-            .withColumn(tmp, apply_synonyms(F.col(tmp)))
-            .withColumn(tmp, remove_flat_one_number_address(F.col(tmp)))
-            .withColumn(tmp, _move_flat_house_court_post(F.col(tmp)))
-            .withColumn(tmp, fix_comma_spacing(F.col(tmp)))
-            .withColumn(tmp, collapse_number_ranges(F.col(tmp)))
-            .withColumn(tmp, replace_floor_flat(F.col(tmp)))
-            .withColumn(tmp, add_flat_start_letter(F.col(tmp)))
+        # linear chains (each referencing its input once) are fused into a
+        # single Project; only the multi-reference when/otherwise cascades
+        # get their own materialisation step — fewer Projects keeps
+        # driver-side analysis time down without re-inflating the tree
+        df = df.withColumn(
+            tmp,
+            apply_synonyms(
+                replace_mistaken_dates(
+                    F.lower(remove_postcode(F.trim(F.col(in_col))))
+                )
+            ),
         )
-    df = df.withColumn(out_col, F.trim(F.col(tmp))).drop(tmp)
-    for name, expr in extract_number_fields(F.col(out_col)).items():
-        df = df.withColumn(name, expr)
-    return df
+        df = df.withColumn(tmp, remove_flat_one_number_address(F.col(tmp)))
+        df = df.withColumn(
+            tmp,
+            collapse_number_ranges(
+                fix_comma_spacing(_move_flat_house_court_post(F.col(tmp)))
+            ),
+        )
+        df = df.withColumn(tmp, replace_floor_flat(F.col(tmp)))
+        df = df.withColumn(out_col, F.trim(add_flat_start_letter(F.col(tmp)))).drop(tmp)
+    else:
+        df = df.withColumn(
+            out_col, F.trim(remove_postcode(F.trim(F.col(in_col))))
+        )
+    fields = extract_number_fields(F.col(out_col))
+    return df.select(
+        "*", *[expr.alias(name) for name, expr in fields.items()]
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -268,6 +268,192 @@ def _tsr_pair(ta: frozenset, tb: frozenset, cutoff: float | None) -> float:
     return r if r > best_sect else best_sect
 
 
+def tsr_presplit(ta: frozenset, tb: frozenset, chars_a: int, chars_b: int,
+                 cutoff: float) -> float:
+    """token_set_ratio over pre-split token sets with pre-summed character
+    counts; avoids sorting/joining the diff strings unless the LCS branch
+    is actually needed (all joined-string LENGTHS are derivable from set
+    arithmetic: len(" ".join(S)) = Σ|t| + |S| - 1).
+
+    chars_a/chars_b are sum(len(t) for t in set).  Returns 0.0 below
+    cutoff (process.cdist semantics)."""
+    if not ta or not tb:
+        return 0.0
+    sect = ta & tb
+    n_sect = len(sect)
+    n_ab = len(ta) - n_sect
+    n_ba = len(tb) - n_sect
+    if n_sect and (n_ab == 0 or n_ba == 0):
+        return 100.0
+    sect_chars = 0
+    for t in sect:
+        sect_chars += len(t)
+    sect_len = sect_chars + n_sect - 1 if n_sect else 0
+    ab_len = (chars_a - sect_chars) + n_ab - 1 if n_ab else 0
+    ba_len = (chars_b - sect_chars) + n_ba - 1 if n_ba else 0
+    one = 1 if sect_len else 0
+    sect_ab_len = sect_len + one + ab_len
+    sect_ba_len = sect_len + one + ba_len
+    sect_ab_ratio = (1.0 - (one + ab_len) / (sect_len + sect_ab_len)) * 100.0
+    sect_ba_ratio = (1.0 - (one + ba_len) / (sect_len + sect_ba_len)) * 100.0
+    best_sect = sect_ab_ratio if sect_ab_ratio >= sect_ba_ratio else sect_ba_ratio
+    lensum = ab_len + ba_len
+    bound = 200.0 * (ab_len if ab_len < ba_len else ba_len) / lensum if lensum else 100.0
+    if best_sect < cutoff and bound < cutoff:
+        return 0.0
+    if best_sect >= cutoff and bound <= best_sect:
+        return best_sect
+    r = ratio(" ".join(sorted(ta - tb)), " ".join(sorted(tb - ta)))
+    best = r if r > best_sect else best_sect
+    return best if best >= cutoff else 0.0
+
+
+def cross_token_set_scores(
+    left_tokens: list, right_tokens: list, cutoff: float
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized cross-product token_set_ratio for one block (the cdist
+    kernel).  Inputs are per-row token collections; returns (i, j, score)
+    for every pair scoring >= cutoff.
+
+    Strategy: all joined-string lengths in token_set_ratio derive from set
+    arithmetic, so the full nl x nr decision matrix is computed with NumPy:
+      * per-token inverted index → scatter-add intersection counts C and
+        intersection char-sums CH (one nl x nr matrix pass per token)
+      * diff lengths / sect ratios / cutoff bounds as matrix arithmetic
+      * only the rare pairs whose bound straddles the cutoff fall back to
+        the per-pair LCS (ratio of sorted diff strings)
+    Exactly matches tsr_presplit / rapidfuzz token_set_ratio semantics
+    (tests/test_kernels.py::test_cross_scores_match_scalar).
+    """
+    nl = len(left_tokens)
+    nr = len(right_tokens)
+    if nl == 0 or nr == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.float64))
+    lsets = [frozenset(t) for t in left_tokens]
+    rsets = [frozenset(t) for t in right_tokens]
+    na = np.array([len(t) for t in lsets], dtype=np.float64)
+    nb = np.array([len(t) for t in rsets], dtype=np.float64)
+    chars_a = np.array([sum(map(len, t)) for t in lsets], dtype=np.float64)
+    chars_b = np.array([sum(map(len, t)) for t in rsets], dtype=np.float64)
+
+    # inverted index over the union vocabulary
+    lrows: dict[str, list[int]] = {}
+    for i, toks in enumerate(lsets):
+        for t in toks:
+            lrows.setdefault(t, []).append(i)
+    rrows: dict[str, list[int]] = {}
+    for j, toks in enumerate(rsets):
+        for t in toks:
+            rrows.setdefault(t, []).append(j)
+
+    C = np.zeros((nl, nr), dtype=np.float64)   # |A ∩ B|
+    CH = np.zeros((nl, nr), dtype=np.float64)  # Σ|t| over A ∩ B
+    for t, li in lrows.items():
+        rj = rrows.get(t)
+        if rj is None:
+            continue
+        ix = np.ix_(li, rj)
+        C[ix] += 1.0
+        CH[ix] += float(len(t))
+
+    n_ab = na[:, None] - C
+    n_ba = nb[None, :] - C
+    has_sect = C > 0
+    sect_len = np.where(has_sect, CH + C - 1.0, 0.0)
+    ab_len = np.where(n_ab > 0, (chars_a[:, None] - CH) + n_ab - 1.0, 0.0)
+    ba_len = np.where(n_ba > 0, (chars_b[None, :] - CH) + n_ba - 1.0, 0.0)
+    one = (sect_len > 0).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sect_ab_ratio = (
+            1.0 - (one + ab_len) / (2.0 * sect_len + one + ab_len)
+        ) * 100.0
+        sect_ba_ratio = (
+            1.0 - (one + ba_len) / (2.0 * sect_len + one + ba_len)
+        ) * 100.0
+    best_sect = np.maximum(sect_ab_ratio, sect_ba_ratio)
+    lensum = ab_len + ba_len
+    with np.errstate(divide="ignore", invalid="ignore"):
+        bound = np.where(
+            lensum > 0, 200.0 * np.minimum(ab_len, ba_len) / lensum, 100.0
+        )
+
+    score = np.zeros((nl, nr), dtype=np.float64)
+    subset = has_sect & ((n_ab == 0) | (n_ba == 0))
+    score[subset] = 100.0
+    # decided by the sect branch without LCS
+    sect_wins = (~subset) & (best_sect >= cutoff) & (bound <= best_sect)
+    score[sect_wins] = best_sect[sect_wins]
+    # undecided: bound >= cutoff and the diff-ratio could exceed best_sect
+    undecided = (~subset) & (~sect_wins) & (bound >= cutoff)
+    empty_side = (na[:, None] == 0) | (nb[None, :] == 0)
+    undecided &= ~empty_side
+    if undecided.any():
+        # group undecided pairs by search row: the bit-parallel LCS mask
+        # table is built once per left diff string and streamed over the
+        # right diffs; for the (common) disjoint-token pairs the diffs are
+        # the precomputed full sorted joins.
+        ljoin = [" ".join(sorted(t)) for t in lsets]
+        rjoin = [" ".join(sorted(t)) for t in rsets]
+        ui, uj = np.nonzero(undecided)
+        c_vals = C[ui, uj]
+        order = np.argsort(ui, kind="stable")
+        ui = ui[order]
+        uj = uj[order]
+        c_vals = c_vals[order]
+        pos = 0
+        n_u = len(ui)
+        while pos < n_u:
+            i = int(ui[pos])
+            end = pos
+            while end < n_u and ui[end] == i:
+                end += 1
+            ta = lsets[i]
+            # rows where the intersection is empty share the same left diff
+            pm_cache: dict[str, tuple[dict, int, int]] = {}
+            for k in range(pos, end):
+                j = int(uj[k])
+                if c_vals[k] == 0.0:
+                    a = ljoin[i]
+                    b = rjoin[j]
+                else:
+                    a = " ".join(sorted(ta - rsets[j]))
+                    b = " ".join(sorted(rsets[j] - ta))
+                ent = pm_cache.get(a)
+                if ent is None:
+                    pm: dict[str, int] = {}
+                    bit = 1
+                    for ch in a:
+                        pm[ch] = pm.get(ch, 0) | bit
+                        bit <<= 1
+                    ent = (pm, len(a), (1 << len(a)) - 1)
+                    pm_cache[a] = ent
+                pm, la, mask = ent
+                lb = len(b)
+                if la == 0 or lb == 0:
+                    lcs = 0
+                else:
+                    st = mask
+                    get = pm.get
+                    for ch in b:
+                        m = get(ch)
+                        if m:
+                            u = st & m
+                            st = ((st + u) | (st - u)) & mask
+                    lcs = la - (st & mask).bit_count()
+                lensum_ij = la + lb
+                r = (200.0 * lcs / lensum_ij) if lensum_ij else 100.0
+                bs = best_sect[i, j]
+                s = r if r > bs else bs
+                if s >= cutoff:
+                    score[i, j] = s
+            pos = end
+    score[empty_side] = 0.0
+    keep = score >= cutoff
+    il, jr = np.nonzero(keep)
+    return il, jr, score[il, jr]
+
+
 def token_set_ratio_batch(left, right, cutoff: float | None = None) -> np.ndarray:
     """Batched token_set_ratio: tokenization cached per unique string,
     scores cached per unique pair, LCS pruned via cutoff bounds."""

@@ -92,7 +92,18 @@ def field_pass(
     salt = cfg.salt
     if salt == 0:
         salt = blocking.choose_salt(s, "__bk", cfg.salt_target_rows)
-    pairs = blocking.block_join(s, r, "__bk", salt=salt, prefilter=True)
+    # see fuzzy_pass: repartition the search side pre-join so the pair
+    # fan-out + UDFs run on all cores and the windows reuse the clustering;
+    # explicitly broadcast the small dimension-like ref side
+    npart = int(s.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    s = s.repartition(npart, F.col("record_id"))
+    if cfg.broadcast_ref is not False:
+        pairs = s.join(
+            F.broadcast(blocking.prefilter_ref(r, s, "__bk")),
+            on="__bk", how="inner",
+        )
+    else:
+        pairs = blocking.block_join(s, r, "__bk", salt=salt, prefilter=True)
 
     # blank text fields → ' ' so scorers accept them (F10,
     # tools/recordlinkage_funcs.py:27-29); lower-case both sides.

@@ -29,6 +29,52 @@ FUZZY_MATCH_LIMIT = 85.0  # tools/constants.py:39
 NO_NUMBER_FUZZY_MATCH_LIMIT = 100.0  # tools/constants.py:235
 
 
+def block_cross_score(
+    search: "DataFrame",
+    ref: "DataFrame",
+    key_cols: list[str],
+    cutoff: float = FUZZY_MATCH_LIMIT,
+    search_id: str = "record_id",
+    ref_id: str = "ref_id",
+    search_addr: str = "search_mod_address",
+    ref_addr: str = "reference_mod_address",
+):
+    """J1, the cdist shape: cogroup both sides by the block key and score
+    the full cross product INSIDE the UDF (tools/fuzzy_match.py:88-94).
+
+    Arrow transfer is O(block rows), not O(pairs): each side's strings
+    cross the JVM↔Python boundary once per block, tokenisation happens
+    once per row, and only pairs >= cutoff come back — for a 5k x 6k
+    block that is ~30M in-memory comparisons but only thousands of
+    result rows.  Skew is handled upstream by salting the search side
+    and replicating the ref side, which splits a heavy block's cross
+    product across salt groups.
+    """
+    import numpy as np
+
+    out_schema = f"{search_id} long, {ref_id} long, fuzzy_score double"
+
+    def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame({search_id: [], ref_id: [], "fuzzy_score": []})
+        lids = left[search_id].to_numpy()
+        rids = right[ref_id].to_numpy()
+        ltoks = [("" if s is None else s).split() for s in left[search_addr]]
+        rtoks = [("" if s is None else s).split() for s in right[ref_addr]]
+        il, jr, sc = K.cross_token_set_scores(ltoks, rtoks, cutoff)
+        return pd.DataFrame({
+            search_id: lids[il],
+            ref_id: rids[jr],
+            "fuzzy_score": sc,
+        })
+
+    return (
+        search.groupBy(*key_cols)
+        .cogroup(ref.groupBy(*key_cols))
+        .applyInPandas(score, out_schema)
+    )
+
+
 def make_token_set_ratio_udf(cutoff: float | None = FUZZY_MATCH_LIMIT):
     """P1: vectorized token_set_ratio with cutoff-pushdown inside the batch
     kernel (scores below cutoff collapse to 0, per process.cdist)."""

@@ -67,11 +67,19 @@ def combine_passes(results: list[DataFrame], key: str = "record_id") -> DataFram
 
 
 def add_wratio_tiebreak(shortlist: DataFrame, ratio_udf,
-                        group_cols=("search_mod_address", "full_number_match",
+                        group_cols=("record_id", "search_mod_address",
+                                    "full_number_match",
                                     "room_number_search", "fuzzy_score")) -> DataFrame:
     """P2/X6: compute the plain-ratio tie-break ONLY for groups that are
     actually tied with full_number_match=true (tools/fuzzy_match.py:296-308)
-    — the expensive UDF runs on the tiny tied subset."""
+    — the expensive UDF runs on the tiny tied subset.
+
+    The group keys lead with record_id so this window's required
+    clustering is satisfied by the keep_max_score/best_match exchange —
+    all three windows share ONE shuffle.  (The reference counts ties
+    globally by address text; keying by record additionally only splits
+    ties between distinct records that share identical address text,
+    which cannot change any per-record selection.)"""
     w = Window.partitionBy(*[F.col(c) for c in group_cols])
     flagged = shortlist.withColumn("__ties", F.count(F.lit(1)).over(w))
     return flagged.withColumn(

@@ -404,9 +404,7 @@ _register(
         .withColumn("full_addr", F.concat_ws(" ", F.col("body"), F.col("postcode")))
         .select(
             "record_id",
-            S.standardise_address_df(
-                s.range(0).select(), "x", "y", False
-            ) if False else F.trim(S.remove_postcode(F.trim(F.col("full_addr"))))
+            F.trim(S.remove_postcode(F.trim(F.col("full_addr"))))
             .alias("address_stand"),
         )
     )),

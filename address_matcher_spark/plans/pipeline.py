@@ -19,7 +19,7 @@ UDFs; everything else is codegen'd expressions and windows.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -38,7 +38,8 @@ class MatchConfig:
     score_cut_off: float = 98.7             # tools/constants.py:231
     score_cut_off_street: float = 99.5      # tools/constants.py:233
     salt: int = 0                           # 0 → measure via choose_salt
-    salt_target_rows: int = 5000
+    salt_target_rows: int = 5000            # join-path salting (field pass)
+    salt_target_pairs: int = 250_000        # cogroup cross-score salting
     broadcast_ref: bool | None = None       # None → let AQE decide
     run_field_passes: bool = True
     address_cols: tuple = ("address_line1", "address_line2", "town")
@@ -57,7 +58,13 @@ REF_FIELDS = [f"{f}_reference" for f in verify.FIELDS]
 def search_from_pages(pages: DataFrame) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → search rows with a stable
     record_id derived from url (SURVEY §1.4: monotonically_increasing_id is
-    unstable across recompute — hash the natural key instead)."""
+    unstable across recompute — hash the natural key instead).
+
+    The raw pages are repartitioned BEFORE the extraction projection: a
+    projection sits below any later repartition in the physical plan, so
+    without this the html→text regexes would run on the scan's (possibly
+    single) input split."""
+    pages = _ensure_parallel(pages)
     text = X.extract_text(F.col("html"))
     return pages.select(
         F.xxhash64(F.col("url")).alias("record_id"),
@@ -69,9 +76,21 @@ def search_from_pages(pages: DataFrame) -> DataFrame:
     )
 
 
+def _ensure_parallel(df: DataFrame) -> DataFrame:
+    """The standardisation layer is ~150 regex ops per row; a small input
+    (one parquet split) would run it on one core.  Round-robin repartition
+    when the scan has fewer splits than the cluster has slots — a no-op on
+    real multi-split inputs."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
 def prepare_search(df: DataFrame, cfg: MatchConfig) -> DataFrame:
     """T3/T4 + F2/F5/F6 + T7: clean/join address cols, exclusion flags,
     blocking key (tools/preparation.py:53-118, tools/standardise.py:19-36)."""
+    df = _ensure_parallel(df)
     cleaned = []
     for c in cfg.address_cols:
         col = F.coalesce(F.col(c).cast("string"), F.lit(""))
@@ -107,6 +126,7 @@ def prepare_search(df: DataFrame, cfg: MatchConfig) -> DataFrame:
 def prepare_reference(df: DataFrame) -> DataFrame:
     """LPI columns → fulladdress (T5/T6) + blocking keys
     (tools/preparation.py:172-237)."""
+    df = _ensure_parallel(df)
     scrubbed = {}
     for c in S._LPI_COLS:
         col = F.coalesce(F.col(c).cast("string"), F.lit(""))
@@ -162,7 +182,7 @@ def fuzzy_pass(
     blocker: str,
     cfg: MatchConfig,
     pass_name: str,
-    salt: int | None = None,
+    broadcast_ref: bool | None = None,
 ) -> DataFrame:
     """J1/J2 + P1 + J6 + D1-D7 + P2 + W1: block-join candidates, score with
     the vectorized token_set_ratio UDF, shortlist to per-record max, verify,
@@ -176,24 +196,48 @@ def fuzzy_pass(
     r = r.drop(*({"postcode_search", "street_key"} - {key}))
     # dedup RHS against join-key fan-out on identical standardised rows (X7)
     r = r.dropDuplicates(["__bk", "reference_mod_address"])
+    # semi-join prefilter: ref blocks nobody searches never ship (J3/X3)
+    r = blocking.prefilter_ref(r, s, "__bk")
 
-    if salt is None:
-        salt = cfg.salt or blocking.choose_salt(s, "__bk", cfg.salt_target_rows)
-    pairs = blocking.block_join(
-        s, r, "__bk", salt=salt, salt_id_col="record_id", prefilter=True
+    # Scoring is the reference's cdist re-expressed for Spark: cogroup
+    # both sides by (block, salt) and cross-score INSIDE an Arrow UDF
+    # (scoring.block_cross_score).  Strings cross the JVM↔Python boundary
+    # once per row — not once per pair — and only pairs >= cutoff return.
+    # Salting is PER-BLOCK from the measured cross-product histogram
+    # (tools/matcher_funcs.py:894-986's batch packer, done right): a heavy
+    # block splits so no salt-group exceeds ~target comparisons; small
+    # blocks stay whole.
+    s_salted, r_salted, extra = blocking.salt_for_cogroup_adaptive(
+        s.select("record_id", "__bk", "search_mod_address"),
+        r.select("ref_id", "__bk", "reference_mod_address"),
+        "__bk", cfg.salt_target_pairs,
+    )
+    # pin the scoring stage's parallelism with an explicit NUMBERED
+    # repartition on the grouping keys: it satisfies the cogroup's
+    # required clustering (no second shuffle) and numbered repartitions
+    # are exempt from AQE's byte-based coalescing, which would otherwise
+    # serialise this compute-bound stage onto a couple of tasks.
+    npart = s.sparkSession.sparkContext.defaultParallelism * 2
+    keys = ["__bk", *extra]
+    s_salted = s_salted.repartition(npart, *[F.col(k) for k in keys])
+    r_salted = r_salted.repartition(npart, *[F.col(k) for k in keys])
+    cand = scoring.block_cross_score(
+        s_salted, r_salted, keys, cutoff=cfg.fuzzy_match_limit
     )
 
-    tsr = scoring.make_token_set_ratio_udf(cfg.fuzzy_match_limit)
-    pairs = pairs.withColumn(
-        "fuzzy_score",
-        tsr(F.col("search_mod_address"), F.col("reference_mod_address")),
+    shortlist = select.keep_max_score(cand, "record_id")
+    # join the (now tiny) shortlist back to both sides for verification;
+    # ref side is dimension-like → broadcast (falls back to a shuffled
+    # equi-join on ref_id when the reference is too big to broadcast)
+    if broadcast_ref is None:
+        broadcast_ref = cfg.broadcast_ref if cfg.broadcast_ref is not None else True
+    shortlist = shortlist.join(
+        search_std.drop("street_key", "postcode_search"), "record_id"
     )
-    # pairs below cutoff score 0 (cdist semantics); they can never win a
-    # shortlist over a real score, and an all-zero record is 'unmatched'
-    # either way — drop them early to keep the shuffle small (X5).
-    pairs = pairs.filter(F.col("fuzzy_score") > 0)
-
-    shortlist = select.keep_max_score(pairs, "record_id")
+    ref_back = ref_std.drop("postcode_search", "street_key")
+    shortlist = shortlist.join(
+        F.broadcast(ref_back) if broadcast_ref else ref_back, "ref_id"
+    )
     shortlist = verify.add_decisions(
         shortlist,
         blocker,
@@ -233,20 +277,28 @@ def run_waterfall(
     """O3/O4/O5: the full waterfall.  Returns one row per matched-or-
     attempted search record (best candidate + decisions + method)."""
     cfg = cfg or MatchConfig()
-    # the four standing datasets are reused by every pass
-    # (tools/matcher_funcs.py:752-772) — persist once
-    for df in (search_min, search_full, ref_min, ref_full):
-        df.persist()
-    # measure the salt factor once per blocking key from the full search
-    # side (residues only shrink, so the initial factor stays sufficient)
-    salt_pc = cfg.salt or blocking.choose_salt(
-        search_min.filter(F.col("postcode_search") != ""),
-        "postcode_search", cfg.salt_target_rows,
-    )
-    salt_st = cfg.salt or blocking.choose_salt(
-        search_min.filter(F.col("street_key") != ""),
-        "street_key", cfg.salt_target_rows,
-    )
+    # The four standing datasets are reused by every pass
+    # (tools/matcher_funcs.py:752-772).  Materialise them AND cut their
+    # lineage: the standardisation layer is hundreds of expressions, and
+    # without truncation every pass re-analyzes that whole tree on the
+    # driver (~seconds per pass of pure planning).  With a store this is
+    # a real checkpoint (resumable); otherwise localCheckpoint.
+    if store is not None:
+        search_min = store.write(search_min, "side_search_min")
+        search_full = store.write(search_full, "side_search_full")
+        ref_min = store.write(ref_min, "side_ref_min")
+        ref_full = store.write(ref_full, "side_ref_full")
+    else:
+        search_min = search_min.localCheckpoint()
+        search_full = search_full.localCheckpoint()
+        ref_min = ref_min.localCheckpoint()
+        ref_full = ref_full.localCheckpoint()
+    # broadcast decision measured once, not guessed (X11): the ref side is
+    # dimension-like; broadcast while it fits an executor comfortably
+    if cfg.broadcast_ref is None:
+        bc_ref = ref_min.count() <= 5_000_000
+    else:
+        bc_ref = cfg.broadcast_ref
     passes: list[DataFrame] = []
 
     def run_pass(fn, name):
@@ -259,10 +311,10 @@ def run_waterfall(
         return out
 
     plan = [
-        ("fuzzy_min_pc", lambda s: fuzzy_pass(s, ref_min, "Postcode", cfg, "fuzzy_min_pc", salt_pc), search_min),
-        ("fuzzy_min_st", lambda s: fuzzy_pass(s, ref_min, "Street", cfg, "fuzzy_min_st", salt_st), search_min),
-        ("fuzzy_full_pc", lambda s: fuzzy_pass(s, ref_full, "Postcode", cfg, "fuzzy_full_pc", salt_pc), search_full),
-        ("fuzzy_full_st", lambda s: fuzzy_pass(s, ref_full, "Street", cfg, "fuzzy_full_st", salt_st), search_full),
+        ("fuzzy_min_pc", lambda s: fuzzy_pass(s, ref_min, "Postcode", cfg, "fuzzy_min_pc", bc_ref), search_min),
+        ("fuzzy_min_st", lambda s: fuzzy_pass(s, ref_min, "Street", cfg, "fuzzy_min_st", bc_ref), search_min),
+        ("fuzzy_full_pc", lambda s: fuzzy_pass(s, ref_full, "Postcode", cfg, "fuzzy_full_pc", bc_ref), search_full),
+        ("fuzzy_full_st", lambda s: fuzzy_pass(s, ref_full, "Street", cfg, "fuzzy_full_st", bc_ref), search_full),
     ]
     if cfg.run_field_passes:
         plan += [

@@ -35,6 +35,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalescing stays ON for the many tiny bookkeeping stages
+        # (it cuts per-stage task-dispatch overhead at high core counts).
+        # It sizes partitions by BYTES, which is the wrong model for the
+        # compute-bound scoring stage — that stage is therefore pinned
+        # with an explicit numbered repartition (exempt from coalescing)
+        # in fuzzy_pass/field_pass rather than disabling coalescing
+        # globally.
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(

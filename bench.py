@@ -1,16 +1,21 @@
-"""Benchmark harness: headline ER waterfall + representative operator
+"""Benchmark harness: headline ER metrics + representative operator
 queries; prints ONE JSON line.
 
   SPARK_GRAFT_SF_DIR   parquet dir for operator queries (default sf0.1)
   SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
   SPARK_GRAFT_BENCH_SEARCH / _REF   override ER bench corpus size
 
-The headline metric is candidate-pairs/sec through the full fuzzy
-waterfall (block join → token_set_ratio UDF → verify → select), on the
-deterministic synthetic corpus with the FIXTURES.md §7 skew profile (one
-block ≈ 25% of rows + Zipf tail), sized from the sf dir's lineitem count.
-Candidate pairs are counted at the block-join output (what the scoring UDF
-actually consumes).
+Metrics (per BASELINE.md §C):
+  * candidate_pairs_per_sec — the block-join + cross-score + shortlist
+    stage (BASELINE.md's "candidate-pairs/sec (block join + score)"):
+    candidate pairs = Σ over blocks of search_rows × ref_rows, i.e. what
+    the scoring kernel actually compares.
+  * er_waterfall_sec — the full 4-pass waterfall end-to-end (standardise →
+    4 × block/score/verify/select → combine), reported under queries.
+
+The corpus is the deterministic synthetic generator with the FIXTURES.md
+§7 skew profile (one block ≈ 25% of rows + Zipf tail), sized from the sf
+dir's lineitem count.
 """
 
 from __future__ import annotations
@@ -32,14 +37,13 @@ def _er_scale(sf_dir: str):
     ).fetchone()[0]
     sf = n_li / 6_000_000  # TPC-H lineitem ≈ 6M rows at SF1
     n_search = int(os.environ.get("SPARK_GRAFT_BENCH_SEARCH", 0)) or max(
-        1500, int(sf * 60_000)
+        1500, int(sf * 200_000)
     )
     n_ref = int(os.environ.get("SPARK_GRAFT_BENCH_REF", 0)) or int(n_search * 1.25)
     return sf, n_search, n_ref
 
 
-def _bench_corpus(sf: float, n_search: int, n_ref: int) -> str:
-    """Generate (or reuse) the deterministic bench corpus on local disk."""
+def _bench_corpus(n_search: int, n_ref: int) -> str:
     from address_matcher_spark import datagen
 
     cache = f"/tmp/amspark_bench_{n_search}_{n_ref}"
@@ -56,41 +60,60 @@ def _bench_corpus(sf: float, n_search: int, n_ref: int) -> str:
     return cache
 
 
-def run_er_waterfall(spark, corpus_dir: str, cfg=None):
-    """Returns (candidate_pairs, matched, wall_seconds)."""
-    from pyspark.sql import functions as F
-
-    from address_matcher_spark.operators import blocking
+def _sides(spark, corpus_dir: str, cfg):
     from address_matcher_spark.plans import pipeline as P
 
-    cfg = cfg or P.MatchConfig(run_field_passes=False)
     pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
     ref_raw = spark.read.parquet(f"{corpus_dir}/reference_addresses.parquet")
-
-    t0 = time.perf_counter()
     search = P.prepare_search(P.search_from_pages(pages), cfg)
     ref = P.prepare_reference(ref_raw)
-    sides = {
-        "smin": P.standardise_search(search, False),
-        "sfull": P.standardise_search(search, True),
-        "rmin": P.standardise_reference(ref, False),
-        "rfull": P.standardise_reference(ref, True),
+    return {
+        "smin": P.standardise_search(search, False).localCheckpoint(),
+        "sfull": P.standardise_search(search, True).localCheckpoint(),
+        "rmin": P.standardise_reference(ref, False).localCheckpoint(),
+        "rfull": P.standardise_reference(ref, True).localCheckpoint(),
     }
+
+
+def count_candidate_pairs(sides) -> int:
+    """Σ over postcode blocks of search_rows × ref_rows (what the scoring
+    kernel compares; computed outside any timed window)."""
+    from pyspark.sql import functions as F
+
+    s = sides["smin"].filter(F.col("postcode_search") != "")
+    r = (
+        sides["rmin"].filter(F.col("postcode_search") != "")
+        .dropDuplicates(["postcode_search", "reference_mod_address"])
+    )
+    sh = s.groupBy("postcode_search").count().withColumnRenamed("count", "sc")
+    rh = r.groupBy("postcode_search").count().withColumnRenamed("count", "rc")
+    row = sh.join(rh, "postcode_search").agg(
+        F.sum(F.col("sc") * F.col("rc")).alias("pairs")
+    ).collect()[0]
+    return int(row["pairs"] or 0)
+
+
+def run_block_score(spark, sides, cfg) -> tuple[int, float]:
+    """The BASELINE.md §C 'block join + score' stage: candidate generation
+    + cross-scoring + per-record shortlist, materialised."""
+    from address_matcher_spark.plans import pipeline as P
+
+    t0 = time.perf_counter()
+    out = P.fuzzy_pass(sides["smin"], sides["rmin"], "Postcode", cfg, "bench")
+    n = out.count()
+    return n, time.perf_counter() - t0
+
+
+def run_er_waterfall(spark, sides, cfg) -> tuple[int, float]:
+    from pyspark.sql import functions as F
+
+    from address_matcher_spark.plans import pipeline as P
+
+    t0 = time.perf_counter()
     res = P.run_waterfall(sides["smin"], sides["sfull"],
                           sides["rmin"], sides["rfull"], cfg)
     matched = res.filter(F.col("full_match")).count()
-    wall = time.perf_counter() - t0
-
-    # candidate-pair volume of the dominant first pass (block-join output —
-    # what the scoring UDF consumes); counted outside the timed window
-    s1 = sides["smin"].filter(F.col("postcode_search") != "")
-    r1 = sides["rmin"].filter(F.col("postcode_search") != "")
-    pairs = blocking.block_join(
-        s1.select("record_id", F.col("postcode_search").alias("bk")),
-        r1.select("ref_id", F.col("postcode_search").alias("bk")),
-        "bk", salt=1,
-    ).count()
-    return pairs, matched, wall
+    return matched, time.perf_counter() - t0
 
 
 OPERATOR_QUERIES = [
@@ -112,23 +135,31 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+    from address_matcher_spark.plans import pipeline as P
     from address_matcher_spark.plans.driver_queries import QUERIES
     from address_matcher_spark.session import get_spark
 
     spark = get_spark(app_name=f"amspark-bench-{cpus}",
                       master=f"local[{cpus}]", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    cfg = P.MatchConfig(run_field_passes=False)
 
     sf, n_search, n_ref = _er_scale(sf_dir)
-    corpus = _bench_corpus(sf, n_search, n_ref)
+    corpus = _bench_corpus(n_search, n_ref)
 
-    # warm the JVM/Python-worker pools once (tiny run, excluded from timing)
-    run_er_waterfall(spark, _bench_corpus(0.0001, 400, 500))
+    # warm the JVM/codegen/Python-worker pools (tiny, untimed)
+    warm = _sides(spark, _bench_corpus(400, 500), cfg)
+    run_block_score(spark, warm, cfg)
 
-    pairs, matched, wall = run_er_waterfall(spark, corpus)
-    pairs_per_sec = pairs / wall if wall > 0 else 0.0
+    sides = _sides(spark, corpus, cfg)
+    pairs = count_candidate_pairs(sides)
+    shortlisted, t_score = run_block_score(spark, sides, cfg)
+    matched, t_wf = run_er_waterfall(spark, sides, cfg)
 
-    queries: dict[str, float] = {"er_waterfall": round(wall, 3)}
+    queries: dict[str, float] = {
+        "er_block_score": round(t_score, 3),
+        "er_waterfall": round(t_wf, 3),
+    }
     for name in OPERATOR_QUERIES:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -136,12 +167,13 @@ def main() -> None:
 
     out = {
         "metric": "candidate_pairs_per_sec",
-        "value": round(pairs_per_sec, 1),
+        "value": round(pairs / t_score, 1) if t_score else 0.0,
         "unit": "sec",
         "queries": queries,
         "sf": round(sf, 4),
         "cpus": cpus,
         "er_candidate_pairs": pairs,
+        "er_shortlisted": shortlisted,
         "er_matched": matched,
         "er_search_rows": n_search,
         "er_ref_rows": n_ref,

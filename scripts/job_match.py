@@ -1,0 +1,78 @@
+"""spark-submit job entry: end-to-end match + cluster over configurable
+inputs (env vars so the same script works via submit_example.sh locally
+and on a cluster).
+
+  AM_PAGES_DIR    parquet dir of pages(url, warc_ts, html, text, lang)
+                  (default: deterministic synthetic corpus in /tmp)
+  AM_REF_DIR      parquet dir of LPI reference addresses
+  AM_OUT_DIR      output dir (matches + clusters + run metadata)
+  AM_CKPT_DIR     checkpoint root (resumable per pass/superstep)
+  AM_RUN_ID       run id for checkpoint lineage (default 'run1')
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from address_matcher_spark import datagen
+    from address_matcher_spark.operators.cluster import cluster_records
+    from address_matcher_spark.plans import pipeline as P
+    from address_matcher_spark.sources.checkpoint import CheckpointStore
+
+    pages_dir = os.environ.get("AM_PAGES_DIR")
+    ref_dir = os.environ.get("AM_REF_DIR")
+    out_dir = os.environ.get("AM_OUT_DIR", "/tmp/am_out")
+    ckpt_dir = os.environ.get("AM_CKPT_DIR", "/tmp/am_ckpt")
+    run_id = os.environ.get("AM_RUN_ID", "run1")
+
+    if not pages_dir or not ref_dir:
+        base = "/tmp/am_job_corpus"
+        if not os.path.exists(os.path.join(base, "_done")):
+            datagen.write_fixtures(base, datagen.Scale(n_ref=5000, n_search=4000))
+            open(os.path.join(base, "_done"), "w").close()
+        pages_dir = os.path.join(base, "pages.parquet")
+        ref_dir = os.path.join(base, "reference_addresses.parquet")
+
+    cfg = P.MatchConfig()
+    store = CheckpointStore(ckpt_dir, run_id)
+
+    t0 = time.perf_counter()
+    search = P.prepare_search(
+        P.search_from_pages(spark.read.parquet(pages_dir)), cfg
+    )
+    ref = P.prepare_reference(spark.read.parquet(ref_dir))
+    results = P.run_waterfall(
+        P.standardise_search(search, False),
+        P.standardise_search(search, True),
+        P.standardise_reference(ref, False),
+        P.standardise_reference(ref, True),
+        cfg, store=store,
+    )
+    results.write.mode("overwrite").parquet(os.path.join(out_dir, "matches"))
+    clusters = cluster_records(
+        spark.read.parquet(os.path.join(out_dir, "matches")), store=store
+    )
+    clusters.write.mode("overwrite").parquet(os.path.join(out_dir, "clusters"))
+
+    summary = P.match_summary(
+        spark.read.parquet(os.path.join(out_dir, "matches"))
+    ).collect()[0].asDict()
+    summary["wall_sec"] = round(time.perf_counter() - t0, 2)
+    summary["n_clusters"] = clusters.select("cluster_id").distinct().count()
+    with open(os.path.join(out_dir, "run_summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
