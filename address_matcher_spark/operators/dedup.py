@@ -43,13 +43,16 @@ def token_hash(tok: Column) -> Column:
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingle strings."""
+    """Distinct word n-gram shingle strings ([] for docs shorter than n
+    tokens — sequence(1, 0) would DESCEND, so guard explicitly)."""
     toks = tokens(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     grams = F.transform(
         idx, lambda i: F.array_join(F.slice(toks, i, n), " ")
     )
-    return F.array_distinct(grams)
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text",

@@ -463,6 +463,8 @@ _register(
     lambda spark, sf: _q(spark, sf, lambda s: (
         s.table("er_search").alias("s")
         .join(s.table("er_ref").alias("r"), F.col("s.postcode") == F.col("r.postcode"))
+        # project the levenshtein ONCE before the window (orderBy on the
+        # raw expression would evaluate it twice per row)
         .select(
             "record_id", "ref_id",
             F.levenshtein(F.col("s.body"), F.col("r.body")).alias("lev"),
@@ -839,3 +841,86 @@ _register("er_pipeline_clusters", _clusters_rows_only, None)
 _register("ann_lsh_topk", _ann_lsh_rows_only, None)
 _register("dedup_simhash_buckets", _simhash_rows_only, None)
 _register("multimodal_decode_stub", _multimodal_rows_only, None)
+
+
+# ---------- E. standardisation predicates with SQL oracles ----------------
+
+_register(
+    "er_extract_postcode",
+    lambda spark, sf: _q(spark, sf, lambda s: (
+        s.table("er_search")
+        .withColumn("full_addr", F.concat_ws(" ", F.col("body"), F.col("postcode")))
+        .select("record_id", S.extract_postcode(F.col("full_addr")).alias("pc_extracted"))
+    )),
+    _with_er(r"""
+    SELECT record_id,
+           nullif(regexp_extract(upper(body || ' ' || postcode),
+             '(\b(?:[A-Z][A-HJ-Y]?[0-9][0-9A-Z]? ?[0-9][A-Z]{2})|((GIR ?0A{2})\b$)|(?:[A-Z][A-HJ-Y]?[0-9][0-9A-Z]? ?[0-9]{1}?)$)|(\b(?:[A-Z][A-HJ-Y]?[0-9][0-9A-Z]?)\b$)',
+             1), '') AS pc_extracted
+    FROM er_search
+    """),
+)
+
+# exclusion flags need addresses that actually trip the rules: inject the
+# trigger words deterministically on a key-derived subset
+_EXCL_AUG = (
+    "CASE WHEN record_id % 31 = 0 THEN concat(body, ' garage') "
+    "WHEN record_id % 31 = 1 THEN concat('parking space ', body) "
+    "WHEN record_id % 31 = 2 THEN concat(street, ' house') "
+    "ELSE body END"
+)
+
+_register(
+    "er_exclusion_flags",
+    lambda spark, sf: _q(spark, sf, lambda s: (
+        s.table("er_search")
+        .withColumn(
+            "aug",
+            F.when(F.col("record_id") % 31 == 0,
+                   F.concat(F.col("body"), F.lit(" garage")))
+            .when(F.col("record_id") % 31 == 1,
+                  F.concat(F.lit("parking space "), F.col("body")))
+            .when(F.col("record_id") % 31 == 2,
+                  F.concat(
+                      F.element_at(F.split(F.col("body"), " ", 2), 2),
+                      F.lit(" house")))
+            .otherwise(F.col("body")),
+        )
+        .select("record_id", S.exclusion_flag(F.col("aug")).alias("excluded"))
+    )),
+    _with_er(r"""
+    SELECT record_id,
+      CASE
+        WHEN regexp_matches(lower(aug), '(?:\bgarage\b|\bgarages\b)')
+          OR regexp_matches(lower(aug), '(?:\bparking\b)')
+          OR regexp_matches(lower(aug), '(?:\bshed\b|\bsheds\b)')
+          OR regexp_matches(lower(aug), '(?:\bbike\b|\bbikes\b)')
+          OR regexp_matches(lower(aug), '(?:\bbicycle store\b)')
+        THEN 'Excluded - non-postal address'
+        WHEN NOT regexp_matches(lower(aug), '\d+')
+        THEN 'Excluded - no numbers in address'
+        ELSE NULL
+      END AS excluded
+    FROM (
+      SELECT record_id,
+        CASE WHEN record_id % 31 = 0 THEN body || ' garage'
+             WHEN record_id % 31 = 1 THEN 'parking space ' || body
+             WHEN record_id % 31 = 2 THEN
+               array_to_string(string_split(body, ' ')[2:], ' ') || ' house'
+             ELSE body END AS aug
+      FROM er_search) t
+    """),
+)
+
+_register(
+    "er_street_block_keys",
+    lambda spark, sf: _q(spark, sf, lambda s: (
+        s.table("er_search")
+        .select("record_id",
+                S.extract_street_name(F.col("body")).alias("street_name"))
+        .groupBy("street_name").agg(F.count(F.lit(1)).alias("n"))
+    )),
+    None,  # the street regex uses alternation order + IGNORECASE quirks
+           # that differ between RE2 and Java; rows-only here, byte-parity
+           # is enforced against the reference in tests/test_standardise_golden.py
+)
