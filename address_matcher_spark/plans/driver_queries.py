@@ -172,22 +172,39 @@ _register(
         s.table("lineitem")
         .filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
         .groupBy("l_returnflag", "l_linestatus")
+        # exact integer-cents sums: double summation order differs between
+        # engines, so rounded double sums can flip at the .xx5 boundary
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            (F.sum(F.round(F.col("l_quantity") * 100).cast("long")) / 100.0)
+            .alias("sum_qty"),
+            (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0)
+            .alias("sum_base_price"),
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                    * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+                ) / 10000.0
             ).alias("sum_disc_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            (
+                F.round(
+                    F.sum(F.round(F.col("l_discount") * 100).cast("long"))
+                    / F.count(F.lit(1)) / 100.0,
+                    4,
+                )
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )),
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(avg(l_discount), 4) AS avg_disc,
+           sum(cast(round(l_quantity * 100) AS bigint)) / 100.0 AS sum_qty,
+           sum(cast(round(l_extendedprice * 100) AS bigint)) / 100.0
+             AS sum_base_price,
+           sum(cast(round(l_extendedprice * 100) AS bigint)
+               * (100 - cast(round(l_discount * 100) AS bigint))) / 10000.0
+             AS sum_disc_price,
+           round(sum(cast(round(l_discount * 100) AS bigint))
+                 / count(*) / 100.0, 4) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -203,20 +220,32 @@ _register(
         .join(s.table("lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
         .filter(F.col("o_orderdate") < "1996-03-15 00:00:00")
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-             .alias("revenue"))
+        # exact integer-cents arithmetic: double summation order differs
+        # between engines and 1-cent rounding flips otherwise
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                    * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+                ) / 10000.0
+            ).alias("revenue")
+        )
         .filter(F.col("revenue") > 100000)
     )),
     """
     SELECT o_orderkey, o_orderdate,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           sum(cast(round(l_extendedprice * 100) AS bigint)
+               * (100 - cast(round(l_discount * 100) AS bigint))) / 10000.0
+             AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON o_orderkey = l_orderkey
     WHERE c_mktsegment = 'BUILDING'
       AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
     GROUP BY o_orderkey, o_orderdate
-    HAVING round(sum(l_extendedprice * (1 - l_discount)), 2) > 100000
+    HAVING sum(cast(round(l_extendedprice * 100) AS bigint)
+               * (100 - cast(round(l_discount * 100) AS bigint))) / 10000.0
+           > 100000
     """,
 )
 
@@ -327,20 +356,23 @@ _register(
     lambda spark, sf: _q(spark, sf, lambda s: (
         s.table("lineitem")
         .groupBy("l_suppkey")
+        # P6-style weighted sum in exact integer units (x100)
         .agg(
-            F.round(
+            (
                 F.sum(
-                    2.0 * F.col("l_quantity")
-                    + 0.5 * F.col("l_discount") * 100
-                    + 1.0 * F.col("l_tax") * 100
-                ), 2,
+                    200 * F.round(F.col("l_quantity")).cast("long")
+                    + 50 * F.round(F.col("l_discount") * 100).cast("long")
+                    + 100 * F.round(F.col("l_tax") * 100).cast("long")
+                ) / 100.0
             ).alias("weighted_score"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )),
     """
     SELECT l_suppkey,
-           round(sum(2.0*l_quantity + 0.5*l_discount*100 + 1.0*l_tax*100), 2)
+           sum(200 * cast(round(l_quantity) AS bigint)
+               + 50 * cast(round(l_discount * 100) AS bigint)
+               + 100 * cast(round(l_tax * 100) AS bigint)) / 100.0
              AS weighted_score,
            count(*) AS n_items
     FROM lineitem GROUP BY l_suppkey
