@@ -5,7 +5,7 @@ algorithm is defined once (see ``datagen.extract_text_py`` for the pure-
 Python reference implementation) and re-expressed here with JVM-side
 ``regexp_replace``/``split``/``transform`` so extraction runs inside
 WholeStageCodegen with no Python worker in the loop.  Byte-identity between
-the two implementations is asserted in tests/test_extract.py over the
+the two implementations is asserted in tests/test_pipeline_e2e.py::test_extract_text_byte_identity over the
 synthetic pages corpus.
 
 Order matters and is part of the contract:

@@ -188,18 +188,6 @@ def levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
-def _pair_codes(left, right):
-    """Factorize two object arrays into unique-pair codes so each distinct
-    (left, right) string pair is scored once per batch."""
-    import pandas as pd
-
-    lcodes, _luniq = pd.factorize(left)
-    rcodes, _runiq = pd.factorize(right)
-    key = lcodes.astype(np.int64) * (rcodes.max() + 1 if len(rcodes) else 1) + rcodes
-    pair_codes, pair_uniq = pd.factorize(key)
-    return lcodes, rcodes, _luniq, _runiq, pair_codes, pair_uniq
-
-
 def _batch_apply(left, right, fn) -> np.ndarray:
     """Apply a per-pair kernel over two aligned object arrays, computing
     each distinct pair only once."""

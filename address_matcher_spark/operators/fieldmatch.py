@@ -35,6 +35,9 @@ LEV_COLUMNS = ["Postcode"]
 EXACT_COLUMNS = [
     c for c in MATCHING_VARIABLES if c not in TEXT_COLUMNS + LEV_COLUMNS
 ]
+# ref-side frame renames `Postcode` → `postcode_ref` (case-distinct from the
+# search side's `postcode` under default caseSensitive=false)
+REF_COL = {"Postcode": "postcode_ref"}
 WEIGHTS = {c: 1.0 for c in MATCHING_VARIABLES}
 WEIGHTS.update({
     "Organisation": 0.1, "SaoStartNumber": 2.0, "PaoStartNumber": 2.0,
@@ -124,7 +127,9 @@ def field_pass(
         sim = scoring.jaro_winkler_udf(txt(F.col(f"p_{c}")), txt(F.col(c)))
         score = score + F.lit(WEIGHTS[c]) * sim
     for c in LEV_COLUMNS:
-        sim = scoring.levenshtein_similarity(txt(F.col(f"p_{c}")), txt(F.col(c)))
+        sim = scoring.levenshtein_similarity(
+            txt(F.col(f"p_{c}")), txt(F.col(REF_COL.get(c, c)))
+        )
         score = score + F.lit(WEIGHTS[c]) * sim
 
     pairs = pairs.withColumn(

@@ -75,23 +75,6 @@ def block_cross_score(
     )
 
 
-def make_token_set_ratio_udf(cutoff: float | None = FUZZY_MATCH_LIMIT):
-    """P1: vectorized token_set_ratio with cutoff-pushdown inside the batch
-    kernel (scores below cutoff collapse to 0, per process.cdist)."""
-
-    @F.pandas_udf(DoubleType())
-    def tsr(left: pd.Series, right: pd.Series) -> pd.Series:
-        return pd.Series(
-            K.token_set_ratio_batch(
-                left.fillna("").to_numpy(dtype=object),
-                right.fillna("").to_numpy(dtype=object),
-                cutoff,
-            )
-        )
-
-    return tsr
-
-
 @F.pandas_udf(DoubleType())
 def ratio_udf(left: pd.Series, right: pd.Series) -> pd.Series:
     """P2: plain Indel ratio (the reference's misnamed 'wratio' tie-break

@@ -3,7 +3,9 @@
 Operates on a candidate-pair DataFrame carrying, per pair:
   search_mod_address / reference_mod_address   (standardised strings)
   <field>_search / <field>_reference           (six extracted number fields)
-  postcode (search side, original) / Postcode (reference side, original)
+  postcode (search side, original) / postcode_ref (reference side, original —
+  renamed from the LPI `Postcode` so the pair frame is unambiguous under
+  Spark's default caseSensitive=false)
   fuzzy_score                                   (token_set_ratio, cutoff'd)
 
 All predicates are plain boolean column expressions — JVM-side, codegen'd.
@@ -75,7 +77,7 @@ def add_decisions(
     out = out.withColumn("full_number_match", full_number)
     out = out.withColumn(
         "close_postcode_match",
-        close_postcode_match(F.col("postcode"), F.col("Postcode")),
+        close_postcode_match(F.col("postcode"), F.col("postcode_ref")),
     )
     return out.withColumn(
         "full_match",

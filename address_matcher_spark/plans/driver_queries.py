@@ -956,3 +956,109 @@ _register(
            # that differ between RE2 and Java; rows-only here, byte-parity
            # is enforced against the reference in tests/test_standardise_golden.py
 )
+
+
+# ---------- F. pre-match co-filters + results join-back (F3/F4/J10/J11) ----
+
+from address_matcher_spark.operators import cofilter  # noqa: E402
+
+
+def _area_sql(col: str) -> str:
+    despaced = f"regexp_replace(upper(trim({col})), '\\s', '', 'g')"
+    return (
+        f"substr({despaced}, 1, greatest(length({despaced}) - 2, 0))"
+    )
+
+
+def _area_cofilter_q(spark, sf):
+    """F3: postcode-AREA co-filter labels (tools/matcher_funcs.py:567-606).
+    A deterministic 1-in-7 slice of search rows gets an out-of-reference
+    postcode so both label branches are exercised."""
+    register_views(spark, sf)
+    s = spark.table("er_search").withColumn(
+        "postcode",
+        F.when(F.col("record_id") % 7 == 0, F.lit("ZZ99 9ZZ")).otherwise(
+            F.col("postcode")
+        ),
+    )
+    r = spark.table("er_ref")
+    labeled = cofilter.label_area_exclusions(s, r, "postcode", "postcode")
+    return labeled.select("record_id", cofilter.EXCLUSION_COL)
+
+
+_register(
+    "er_area_cofilter",
+    _area_cofilter_q,
+    _with_er(f"""
+    SELECT record_id,
+           CASE WHEN area IN (
+                  SELECT {_area_sql('postcode')} FROM er_ref
+                  WHERE length({_area_sql('postcode')}) > 3)
+                THEN 'Included in search'
+                ELSE 'Postcode area not found' END AS excluded_from_search
+    FROM (
+      SELECT record_id,
+             {_area_sql("CASE WHEN record_id % 7 = 0 THEN 'ZZ99 9ZZ' ELSE postcode END")} AS area
+      FROM er_search) s
+    """),
+)
+
+
+def _prior_exclusion_q(spark, sf):
+    """F4/J11: previously-matched exclusion (tools/matcher_funcs.py:527-556).
+    Prior results = a deterministic 1-in-5 slice marked full_match."""
+    register_views(spark, sf)
+    s = spark.table("er_search")
+    prior = s.filter(F.col("record_id") % 5 == 0).select(
+        "record_id", F.lit(True).alias("full_match")
+    )
+    _, labeled = cofilter.exclude_previously_matched(s, prior)
+    return labeled.select("record_id", cofilter.EXCLUSION_COL)
+
+
+_register(
+    "er_prior_exclusion",
+    _prior_exclusion_q,
+    _with_er("""
+    SELECT record_id,
+           CASE WHEN record_id % 5 = 0 THEN 'Previously matched'
+                ELSE 'Included in search' END AS excluded_from_search
+    FROM er_search
+    """),
+)
+
+
+def _join_to_orig_q(spark, sf):
+    """J10: join full-match winners back onto the user's original frame
+    with carried-column coalesce (tools/fuzzy_match.py:389-444)."""
+    register_views(spark, sf)
+    search = spark.table("er_search")
+    ref = spark.table("er_ref")
+    res = (
+        search.filter(F.col("variant") <= 1)
+        .join(ref, F.col("true_ref_id") == F.col("ref_id"))
+        .select(
+            "record_id",
+            F.lit(True).alias("full_match"),
+            ref["body"].alias("fulladdress"),
+            (F.col("ref_id") + 10000).cast("long").alias("uprn"),
+        )
+    )
+    orig = search.select(
+        "record_id", F.col("body").alias("orig_address"), "postcode"
+    )
+    return cofilter.join_to_orig_df(res, orig, "record_id", join_cols=("uprn",))
+
+
+_register(
+    "er_join_to_orig",
+    _join_to_orig_q,
+    _with_er("""
+    SELECT s.record_id, s.body AS orig_address, s.postcode,
+           CASE WHEN s.variant <= 1 THEN r.body END AS ref_matched_address,
+           (s.variant <= 1) AS matched_with_reference,
+           CASE WHEN s.variant <= 1
+                THEN CAST(r.ref_id + 10000 AS BIGINT) END AS uprn
+    FROM er_search s LEFT JOIN er_ref r ON s.true_ref_id = r.ref_id
+    """),
+)

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from address_matcher_spark.functions import extract as X
 from address_matcher_spark.functions import standardise as S
-from address_matcher_spark.operators import blocking, scoring, select, verify
+from address_matcher_spark.operators import blocking, cofilter, scoring, select, verify
 from address_matcher_spark.operators.fieldmatch import field_pass
 from address_matcher_spark.sources.checkpoint import CheckpointStore
 
@@ -40,8 +40,10 @@ class MatchConfig:
     salt: int = 0                           # 0 → measure via choose_salt
     salt_target_rows: int = 5000            # join-path salting (field pass)
     salt_target_pairs: int = 250_000        # cogroup cross-score salting
-    broadcast_ref: bool | None = None       # None → let AQE decide
+    broadcast_ref: bool | None = None       # None → measure bytes (see below)
+    broadcast_max_bytes: int = 256 * 1024 * 1024  # explicit-broadcast ceiling
     run_field_passes: bool = True
+    area_cofilter: bool = True              # F3 (tools/matcher_funcs.py:567-606)
     address_cols: tuple = ("address_line1", "address_line2", "town")
     postcode_col: str = "postcode"
 
@@ -143,6 +145,28 @@ def prepare_reference(df: DataFrame) -> DataFrame:
     )
 
 
+def prepare_sides(
+    search_raw: DataFrame,
+    ref_raw: DataFrame,
+    cfg: MatchConfig,
+    prior_results: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Raw sides → prepared sides with the reference's pre-match filters:
+    F3 postcode-area co-filter (both directions) and F4 previously-matched
+    exclusion when a prior results table is supplied.  Both run on the RAW
+    frames so the heavy standardisation projections only touch surviving
+    rows (the semi-joins sit below the regex layer in the plan)."""
+    if cfg.area_cofilter:
+        search_raw, ref_raw, _ = cofilter.area_cofilter(
+            search_raw, ref_raw, cfg.postcode_col, "Postcode"
+        )
+    if prior_results is not None:
+        search_raw, _ = cofilter.exclude_previously_matched(
+            search_raw, prior_results
+        )
+    return prepare_search(search_raw, cfg), prepare_reference(ref_raw)
+
+
 def standardise_search(df: DataFrame, standardise_flag: bool) -> DataFrame:
     out = S.standardise_address_df(
         df, "full_address_search", "search_mod_address", standardise_flag
@@ -163,10 +187,13 @@ def standardise_reference(df: DataFrame, standardise_flag: bool) -> DataFrame:
         out = out.withColumnRenamed(f, f"{f}_reference")
     # LPI source columns ride along for the field-wise pass (J5 compares
     # them directly; strings only, cheap relative to the pair fan-out)
+    # The original ref postcode is renamed to a CASE-DISTINCT name: search
+    # rows carry `postcode`, and under Spark's default caseSensitive=false
+    # `Postcode` vs `postcode` on the joined pair frame is AMBIGUOUS_REFERENCE.
     lpi = [c for c in S._LPI_COLS if c != "Postcode"]
     return out.select(
         "ref_id", "UPRN", "fulladdress",
-        F.col("Postcode"), "postcode_search",
+        F.col("Postcode").alias("postcode_ref"), "postcode_search",
         "street_key", "reference_mod_address", *REF_FIELDS, *lpi,
     )
 
@@ -253,11 +280,41 @@ RESULT_COLS = [
     "record_id", "url", "full_address", "postcode", "fuzzy_score",
     "full_match", "full_number_match", "close_postcode_match",
     "fuzzy_score_match", "wratio_score", "search_mod_address",
-    "reference_mod_address", "fulladdress", "Postcode", "ref_id", "UPRN",
+    "reference_mod_address", "fulladdress", "postcode_ref", "ref_id", "UPRN",
     "match_method",
     *[f"{f}_match" for f in verify.FIELDS],
     *SEARCH_FIELDS, *REF_FIELDS,
 ]
+
+
+def estimated_bytes(df: DataFrame, n_rows: int, sample_rows: int = 2000) -> int:
+    """Byte-size estimate for the broadcast decision: avg serialized row
+    width from a bounded sample × exact row count.  A row-count heuristic is
+    wrong at scale (5M rows × 30 string cols is multi-GB — executor OOM);
+    bytes are what the executor actually holds."""
+    if n_rows == 0:
+        return 0
+    per_field = [
+        F.coalesce(F.octet_length(F.col(f.name).cast("string")), F.lit(0))
+        + F.lit(16)  # UnsafeRow field overhead + object headers, roughly
+        for f in df.schema.fields
+    ]
+    row_bytes = per_field[0]
+    for e in per_field[1:]:
+        row_bytes = row_bytes + e
+    agg = df.limit(sample_rows).agg(
+        F.avg(row_bytes).alias("avg_b")
+    ).first()
+    avg = float(agg["avg_b"] or 0.0)
+    return int(avg * n_rows)
+
+
+def should_broadcast(df: DataFrame, max_bytes: int, n_rows: int | None = None) -> bool:
+    """True when the measured size fits under the explicit-broadcast ceiling.
+    Anything larger is left to a shuffled equi-join (AQE may still convert
+    it if its own byte stats allow)."""
+    n = df.count() if n_rows is None else n_rows
+    return estimated_bytes(df, n) <= max_bytes
 
 
 def _residue(search_std: DataFrame, matched: DataFrame) -> DataFrame:
@@ -293,10 +350,11 @@ def run_waterfall(
         search_full = search_full.localCheckpoint()
         ref_min = ref_min.localCheckpoint()
         ref_full = ref_full.localCheckpoint()
-    # broadcast decision measured once, not guessed (X11): the ref side is
-    # dimension-like; broadcast while it fits an executor comfortably
+    # broadcast decision measured once in BYTES, not row count (X11): the
+    # ref side is dimension-like; broadcast only while the serialized table
+    # fits an executor comfortably
     if cfg.broadcast_ref is None:
-        bc_ref = ref_min.count() <= 5_000_000
+        bc_ref = should_broadcast(ref_min, cfg.broadcast_max_bytes)
     else:
         bc_ref = cfg.broadcast_ref
     passes: list[DataFrame] = []
@@ -322,12 +380,19 @@ def run_waterfall(
             ("field_full_pc", lambda s: field_pass(s, ref_full, "Postcode", cfg, "field_full_pc"), search_full),
         ]
 
+    # early-exit gate (X2, ref tools/matcher_funcs.py:1013-1017): the
+    # reference aborts the waterfall when nothing is left to match.  Both
+    # counts are on checkpointed data, so each gate costs one cheap scan —
+    # and skipping a pass saves a full block-score job.
+    total_records = search_min.count()
     matched_ids: DataFrame | None = None
+    matched_count = 0
     for name, fn, side in plan:
+        if matched_count >= total_records:
+            break  # every search record already has a full match
         residue = side if matched_ids is None else side.join(
             matched_ids, "record_id", "left_anti"
         )
-        # early exit (X2): cheap count on the checkpointed residue
         out = run_pass(lambda s=residue: fn(s), name)
         winners = out.filter(F.col("full_match")).select("record_id")
         matched_ids = winners if matched_ids is None else (
@@ -337,6 +402,7 @@ def run_waterfall(
             matched_ids = store.write(matched_ids, f"matched_ids_{name}")
         else:
             matched_ids = matched_ids.localCheckpoint()
+        matched_count = matched_ids.count()
 
     return select.combine_passes(passes, key="record_id")
 

@@ -51,8 +51,5 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
-        # LPI columns are CamelCase ('Postcode') while search columns are
-        # lower-case ('postcode') — both live on the pair DataFrame
-        .config("spark.sql.caseSensitive", "true")
     )
     return builder.getOrCreate()

@@ -8,6 +8,9 @@ and on a cluster).
   AM_OUT_DIR      output dir (matches + clusters + run metadata)
   AM_CKPT_DIR     checkpoint root (resumable per pass/superstep)
   AM_RUN_ID       run id for checkpoint lineage (default 'run1')
+  AM_PRIOR_DIR    optional parquet of a previous run's matches — rows with
+                  full_match are excluded from this run (F4/J11) and their
+                  match columns are coalesced into the output (J10)
 """
 
 from __future__ import annotations
@@ -45,12 +48,16 @@ def main() -> None:
 
     cfg = P.MatchConfig()
     store = CheckpointStore(ckpt_dir, run_id)
+    prior_dir = os.environ.get("AM_PRIOR_DIR")
+    prior = spark.read.parquet(prior_dir) if prior_dir else None
 
     t0 = time.perf_counter()
-    search = P.prepare_search(
-        P.search_from_pages(spark.read.parquet(pages_dir)), cfg
+    search, ref = P.prepare_sides(
+        P.search_from_pages(spark.read.parquet(pages_dir)),
+        spark.read.parquet(ref_dir),
+        cfg,
+        prior_results=prior,
     )
-    ref = P.prepare_reference(spark.read.parquet(ref_dir))
     results = P.run_waterfall(
         P.standardise_search(search, False),
         P.standardise_search(search, True),

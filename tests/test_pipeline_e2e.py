@@ -120,3 +120,60 @@ def test_matched_uprn_carried(results):
     m = results[results["full_match"]]
     assert m["UPRN"].notna().all()
     assert m["fulladdress"].notna().all()
+
+
+def test_early_exit_after_full_pass1(spark, monkeypatch):
+    """X2 early-exit gate (ref tools/matcher_funcs.py:1013-1017): a corpus
+    fully matched by pass 1 must run exactly ONE fuzzy pass and zero field
+    passes — the remaining five waterfall passes are skipped."""
+    rows = [
+        ("12", "OAK ROAD", "LONDON", "SW9 7QD"),
+        ("7", "ELM STREET", "CROYDON", "CR2 6XH"),
+        ("31", "MAPLE AVENUE", "PECKHAM", "SE15 4AB"),
+    ]
+    ref = spark.createDataFrame(
+        [
+            dict(
+                ref_id=i, UPRN=1000 + i,
+                Organisation="", SaoText="", SaoStartNumber="",
+                SaoStartSuffix="", SaoEndNumber="", SaoEndSuffix="",
+                PaoText="", PaoStartNumber=num, PaoStartSuffix="",
+                PaoEndNumber="", PaoEndSuffix="",
+                Street=street, PostTown=town, Postcode=pc,
+            )
+            for i, (num, street, town, pc) in enumerate(rows)
+        ]
+    )
+    search = spark.createDataFrame(
+        [
+            dict(
+                record_id=i, url=f"https://x.test/{i}",
+                address_line1=f"{num} {street}", address_line2="",
+                town=town, postcode=pc,
+            )
+            for i, (num, street, town, pc) in enumerate(rows)
+        ]
+    )
+    cfg = P.MatchConfig()
+    s = P.prepare_search(search, cfg)
+    r = P.prepare_reference(ref)
+    smin, sfull = P.standardise_search(s, False), P.standardise_search(s, True)
+    rmin, rfull = P.standardise_reference(r, False), P.standardise_reference(r, True)
+
+    calls = {"fuzzy": 0, "field": 0}
+    real_fuzzy = P.fuzzy_pass
+
+    def counting_fuzzy(*a, **kw):
+        calls["fuzzy"] += 1
+        return real_fuzzy(*a, **kw)
+
+    def counting_field(*a, **kw):
+        calls["field"] += 1
+        raise AssertionError("field pass must not run after early exit")
+
+    monkeypatch.setattr(P, "fuzzy_pass", counting_fuzzy)
+    monkeypatch.setattr(P, "field_pass", counting_field)
+
+    res = P.run_waterfall(smin, sfull, rmin, rfull, cfg).toPandas()
+    assert calls["fuzzy"] == 1 and calls["field"] == 0
+    assert res["full_match"].all() and len(res) == 3
