@@ -1062,3 +1062,93 @@ _register(
     FROM er_search s LEFT JOIN er_ref r ON s.true_ref_id = r.ref_id
     """),
 )
+
+
+# ---------- G. oracles for the formerly rows-only LSH/simhash ops ---------
+# Both are md5-derived and therefore engine-portable: the plane components
+# and the query signature are recomputed here in pure Python from the SAME
+# definitions the Spark operators use (hashlib md5 == JVM md5 == DuckDB md5).
+
+import hashlib as _hashlib  # noqa: E402
+
+
+def _plane_component_py(plane: int, dim: int) -> float:
+    h = int(_hashlib.md5(f"plane:{plane}:{dim}".encode()).hexdigest()[:8], 16)
+    return float(h % 2001 - 1000)
+
+
+def _planes_py(n_planes: int, dim: int) -> list[list[float]]:
+    return [
+        [_plane_component_py(p, d) for d in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+def _hyperplane_sig_py(vec: list[float], n_planes: int) -> int:
+    sig = 0
+    for p, plane in enumerate(_planes_py(n_planes, len(vec))):
+        dot = sum(v * c for v, c in zip(vec, plane))
+        if dot >= 0:
+            sig += 2 ** p
+    return sig
+
+
+def _lsh_oracle_sql(n_planes: int = 6, k: int = 10) -> str:
+    qv = _query_vec()
+    qsig = _hyperplane_sig_py(qv, n_planes)
+    planes = _planes_py(n_planes, len(qv))
+
+    def dot_sql(plane: list[float]) -> str:
+        lits = "[" + ", ".join(f"{v!r}" for v in plane) + "]"
+        return (
+            f"list_sum(list_transform(list_zip(embedding, {lits}), "
+            f"p -> cast(p[1] AS double) * p[2]))"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot_sql(pl)} >= 0 THEN {2 ** p} ELSE 0 END)"
+        for p, pl in enumerate(planes)
+    )
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket
+      FROM embeddings)
+    SELECT vec_id,
+           round(
+             list_sum(list_transform(list_zip(embedding, {_qvec_sql()}),
+                      p -> cast(p[1] AS double) * cast(p[2] AS double)))
+             / (sqrt(list_sum(list_transform(embedding,
+                      x -> cast(x AS double) * cast(x AS double))))
+                * sqrt(list_sum(list_transform({_qvec_sql()},
+                      x -> cast(x AS double) * cast(x AS double))))), 4)
+           AS cosine,
+           bucket
+    FROM b WHERE bucket = {qsig}
+    ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+    """
+
+
+ORACLES["ann_lsh_topk"] = _lsh_oracle_sql()
+
+
+def _simhash_oracle_sql(prefix_bits: int = 8) -> str:
+    hashes = (
+        "list_transform(list_distinct(regexp_extract_all(lower(text), "
+        "'[a-z0-9]+')), t -> cast(('0x' || substring(md5(t), 1, 8)) AS bigint))"
+    )
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(h, "
+        f"x -> CASE WHEN (x & {1 << bit}) = {1 << bit} THEN 1 ELSE -1 END)) > 0 "
+        f"THEN CAST({1 << bit} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for bit in range(32)
+    )
+    return f"""
+    SELECT doc_id, simhash,
+           CAST(simhash // {2 ** (32 - prefix_bits)} AS BIGINT) AS bucket
+    FROM (
+      SELECT doc_id, {bit_terms} AS simhash
+      FROM (SELECT doc_id, {hashes} AS h FROM documents) t1) t2
+    """
+
+
+ORACLES["dedup_simhash_buckets"] = _simhash_oracle_sql()
