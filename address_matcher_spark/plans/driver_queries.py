@@ -1152,3 +1152,25 @@ def _simhash_oracle_sql(prefix_bits: int = 8) -> str:
 
 
 ORACLES["dedup_simhash_buckets"] = _simhash_oracle_sql()
+
+
+# ---------- H. NN-parse harness (N1-N3, rows-only: not SQL-expressible) ---
+
+
+def _nn_parse_rows_only(spark, sf):
+    """Char-tagger inference harness over er_search bodies: broadcast
+    weights + chunked mapInPandas (ref tools/model_predict.py:180-230).
+    The tiny fixed-seed model stands in for unshipped trained weights;
+    the harness (broadcast, batching, schema) is the unit under test —
+    parity + batching-invariance live in tests/test_nnparse.py."""
+    from address_matcher_spark.operators import nnparse as N
+
+    register_views(spark, sf)
+    s = spark.table("er_search").select(
+        "record_id", F.col("body").alias("full_address")
+    )
+    model = N.init_tiny_model(seed=13)
+    return N.predict_fields(s, model)
+
+
+_register("nn_field_parse", _nn_parse_rows_only, None)

@@ -1,0 +1,156 @@
+"""F3/F4/J10/J11 co-filters + S2/S3 schema coercion: reference semantics
+(tools/matcher_funcs.py:404-606, tools/fuzzy_match.py:389-444) on Spark."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from address_matcher_spark.operators import cofilter as C
+from address_matcher_spark.plans import pipeline as P
+from address_matcher_spark.sources import coerce as SC
+
+
+@pytest.fixture(scope="module")
+def search_df(spark):
+    rows = [
+        (1, "12 oak road", "LONDON", "SW9 7QD"),     # area SW97 in ref
+        (2, "7 elm street", "CROYDON", "CR2 6XH"),   # area CR26 in ref
+        (3, "9 ash lane", "LEEDS", "LS1 4AB"),       # area absent from ref
+        (4, "31 maple grove", "LONDON", "SW9 7XX"),  # same area as 1
+    ]
+    return spark.createDataFrame(
+        [dict(record_id=i, address_line1=a, address_line2="", town=t,
+              postcode=pc) for i, a, t, pc in rows]
+    )
+
+
+@pytest.fixture(scope="module")
+def ref_df(spark):
+    rows = [(10, "12", "OAK ROAD", "LONDON", "SW9 7QD"),
+            (11, "7", "ELM STREET", "CROYDON", "CR2 6XH"),
+            (12, "44", "KING HILL", "BRIXTON", "SW2 5SG")]  # area no search rows
+    return spark.createDataFrame(
+        [dict(ref_id=i, UPRN=100 + i, Organisation="", SaoText="",
+              SaoStartNumber="", SaoStartSuffix="", SaoEndNumber="",
+              SaoEndSuffix="", PaoText="", PaoStartNumber=n,
+              PaoStartSuffix="", PaoEndNumber="", PaoEndSuffix="",
+              Street=s, PostTown=t, Postcode=pc)
+         for i, n, s, t, pc in rows]
+    )
+
+
+def test_area_cofilter_both_directions(search_df, ref_df):
+    kept, ref_kept, labeled = C.area_cofilter(search_df, ref_df)
+    assert {r["record_id"] for r in kept.collect()} == {1, 2, 4}
+    labels = {r["record_id"]: r[C.EXCLUSION_COL] for r in labeled.collect()}
+    assert labels[3] == C.EXCL_AREA and labels[1] == C.INCLUDED
+    # ref keeps only areas surviving search rows hit: SW97 + CR26, not SW25
+    assert {r["ref_id"] for r in ref_kept.collect()} == {10, 11}
+
+
+def test_prior_exclusion_and_incremental_rerun(spark, search_df, ref_df):
+    """F4/J11 done-criterion: a second run attempts ONLY the residue."""
+    prior = spark.createDataFrame(
+        [dict(record_id=1, full_match=True),
+         dict(record_id=2, full_match=False)]  # not a full match → retried
+    )
+    cfg = P.MatchConfig()
+    search, ref = P.prepare_sides(search_df, ref_df, cfg, prior_results=prior)
+    attempted = {r["record_id"] for r in search.select("record_id").collect()}
+    # 3 dropped by area filter, 1 dropped as previously matched
+    assert attempted == {2, 4}
+    assert ref.count() == 2  # SW25 block pruned (no surviving search rows)
+
+
+def test_join_prior_results_suffixes(spark, search_df):
+    prior = spark.createDataFrame(
+        [dict(record_id=1, postcode="OLD", fuzzy_score=99.0)]
+    )
+    out = C.join_prior_results(search_df, prior)
+    assert "postcode_prior" in out.columns and "fuzzy_score" in out.columns
+    row = {r["record_id"]: r for r in out.collect()}
+    assert row[1]["postcode"] == "SW9 7QD" and row[1]["postcode_prior"] == "OLD"
+    assert row[2]["fuzzy_score"] is None
+
+
+def test_join_to_orig_df_coalesce(spark, search_df):
+    results = spark.createDataFrame(
+        [dict(record_id=1, full_match=True, fulladdress="12 OAK ROAD SW9 7QD",
+              UPRN=110),
+         dict(record_id=3, full_match=False, fulladdress="X", UPRN=999)]
+    )
+    # orig already carries prior-run match columns → new values win
+    orig = search_df.withColumn(
+        "matched_with_reference", F.col("record_id") == 2
+    ).withColumn(
+        "ref_matched_address",
+        F.when(F.col("record_id") == 2, F.lit("PRIOR ADDR")),
+    )
+    out = {r["record_id"]: r
+           for r in C.join_to_orig_df(results, orig, "record_id").collect()}
+    assert len(out) == 4                       # every original row kept
+    assert out[1]["matched_with_reference"] is True
+    assert out[1]["ref_matched_address"] == "12 OAK ROAD SW9 7QD"
+    assert out[2]["matched_with_reference"] is True      # prior run survives
+    assert out[2]["ref_matched_address"] == "PRIOR ADDR"
+    assert out[3]["matched_with_reference"] is False     # non-full_match row
+    assert out[4]["ref_matched_address"] is None
+
+
+# ---------------------------------------------------------------------------
+# S2/S3 schema coercion
+# ---------------------------------------------------------------------------
+
+
+def test_llpg_fixture_flows_end_to_end(spark):
+    """Non-LPI (on-prem LLPG) extract → coerce → prepare → standardise."""
+    llpg = spark.createDataFrame([dict(
+        ref_id=1, Address_LPI="12 OAK ROAD", Name_LPI="", Num_LPI="12",
+        Secondary_Name_LPI="", Secondary_Num_LPI="", Postcode_LPI="SW9 7QD",
+        Postal_Town_LPI="LONDON", Street="OAK ROAD", UPRN_BLPU=77,
+    )])
+    coerced = SC.coerce_reference_schema(llpg)
+    for c in SC.LPI_ADDRESS_COLS:
+        assert c in coerced.columns
+    std = P.standardise_reference(P.prepare_reference(coerced), False)
+    row = std.collect()[0]
+    assert row["postcode_ref"] == "SW9 7QD" and row["UPRN"] == 77
+    assert "12 oak road" in row["reference_mod_address"]
+
+
+def test_api_rename_map(spark):
+    api = spark.createDataFrame([dict(
+        ref_id=1, ORGANISATION="ACME", PAO_START_NUMBER="5",
+        STREET_DESCRIPTION="ELM ST", POSTCODE_LOCATOR="CR2 6XH",
+        TOWN_NAME="CROYDON",
+    )])
+    out = SC.coerce_reference_schema(api)
+    row = out.collect()[0]
+    assert row["Organisation"] == "ACME" and row["Postcode"] == "CR2 6XH"
+    assert row["SaoText"] is None  # backfilled
+
+
+def test_nonstandard_last_col_is_postcode(spark):
+    df = spark.createDataFrame([dict(ref_id=1, addr="5 Elm St", pc="CR2 6XH")])
+    out = SC.coerce_reference_schema(df, ref_address_cols=["addr", "pc"])
+    assert out.collect()[0]["Postcode"] == "CR2 6XH"
+
+
+def test_multifile_union_provenance(spark, tmp_path):
+    a = str(tmp_path / "llpg_extract.parquet")
+    b = str(tmp_path / "api_extract.parquet")
+    spark.createDataFrame([dict(
+        ref_id=1, Address_LPI="x", Num_LPI="12", Postcode_LPI="SW9 7QD",
+        Street="OAK ROAD",
+    )]).write.parquet(a)
+    spark.createDataFrame([dict(
+        ref_id=2, PAO_START_NUMBER="5", STREET_DESCRIPTION="ELM ST",
+        POSTCODE_LOCATOR="CR2 6XH",
+    )]).write.parquet(b)
+    out = SC.read_reference_files(spark, [a, b])
+    rows = {r["ref_id"]: r for r in out.collect()}
+    assert rows[1]["reference_file"] == "llpg_extract"
+    assert rows[2]["reference_file"] == "api_extract"
+    assert rows[1]["Postcode"] == "SW9 7QD" and rows[2]["Postcode"] == "CR2 6XH"
+    assert rows[1]["input_file"].endswith(".parquet")
