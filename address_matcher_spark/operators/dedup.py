@@ -75,13 +75,20 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_doc_freq: int = 1000,
+    dropped_out: list | None = None,
 ) -> DataFrame:
     """Near-dup pairs by word-n-gram Jaccard ≥ threshold.
 
     Inverted-index plan: explode shingles → drop shingles appearing in >
-    max_doc_freq docs (hot-token fan-out cap — logged as dropped, never
-    silent at the caller's bench) → self-join on shingle → per-pair
-    intersection counts → |A∩B|/(|A|+|B|-|A∩B|).
+    max_doc_freq docs (hot-token fan-out cap) → self-join on shingle →
+    per-pair intersection counts → |A∩B|/(|A|+|B|-|A∩B|).
+
+    The doc-freq cap is a RECALL trade: pairs similar only through
+    ultra-common shingles can be missed.  Pass `dropped_out=[]` to have
+    the number of capped shingles counted and appended (one extra small
+    aggregate job) so the truncation is never silent; leave it None on
+    the hot path.  Jaccard sizes (na/nb) always count ALL shingles, so
+    reported similarities are exact for surviving pairs either way.
     """
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -89,6 +96,9 @@ def ngram_jaccard_pairs(
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    if dropped_out is not None:
+        n_dropped = freq.filter(F.col("df") > max_doc_freq).count()
+        dropped_out.append(n_dropped)
     sh_f = sh.join(freq.filter(F.col("df") <= max_doc_freq), "shingle")
     a = sh_f.select(F.col("doc_id").alias("a"), "shingle")
     b = sh_f.select(F.col("doc_id").alias("b"), "shingle")

@@ -47,21 +47,25 @@ VOCAB_SIZE = len(VOCAB) + 2
 
 @dataclass
 class CharTagger:
-    """Weight container for the bi-GRU char tagger (numpy arrays only, so
-    it broadcast-serialises without torch)."""
+    """Weight container for the bi-directional char tagger (numpy arrays
+    only, so it broadcast-serialises without torch).  `kind` selects the
+    recurrent cell — 'gru' or 'lstm' (N5, tools/constants.py:64 selects
+    the variant by model_type; both run through the same harness)."""
     emb: np.ndarray                      # [vocab, d]
-    gru_f: dict = field(default_factory=dict)  # Wz/Wr/Wn [d,h], Uz/Ur/Un [h,h], bz/br/bn/bhn [h]
+    gru_f: dict = field(default_factory=dict)  # gate weights, keys per kind
     gru_b: dict = field(default_factory=dict)
     fc_w: np.ndarray = None              # [2h, n_cat]
     fc_b: np.ndarray = None              # [n_cat]
+    kind: str = "gru"
 
     @property
     def hidden(self) -> int:
-        return self.gru_f["Uz"].shape[0]
+        key = "Uz" if self.kind == "gru" else "Ui"
+        return self.gru_f[key].shape[0]
 
 
 def init_tiny_model(seed: int = 13, dim: int = 12, hidden: int = 16,
-                    n_cat: int = len(CATEGORIES)) -> CharTagger:
+                    n_cat: int = len(CATEGORIES), kind: str = "gru") -> CharTagger:
     """Deterministic tiny model for harness tests (stands in for trained
     weights the reference does not ship)."""
     rng = np.random.RandomState(seed)
@@ -76,9 +80,18 @@ def init_tiny_model(seed: int = 13, dim: int = 12, hidden: int = 16,
             "bz": w(hidden), "br": w(hidden), "bn": w(hidden), "bhn": w(hidden),
         }
 
+    def lstm():
+        g = {}
+        for gate in ("i", "f", "g", "o"):
+            g[f"W{gate}"] = w(dim, hidden)
+            g[f"U{gate}"] = w(hidden, hidden)
+            g[f"b{gate}"] = w(hidden)
+        return g
+
+    cell = gru if kind == "gru" else lstm
     return CharTagger(
-        emb=w(VOCAB_SIZE, dim), gru_f=gru(), gru_b=gru(),
-        fc_w=w(2 * hidden, n_cat), fc_b=w(n_cat),
+        emb=w(VOCAB_SIZE, dim), gru_f=cell(), gru_b=cell(),
+        fc_w=w(2 * hidden, n_cat), fc_b=w(n_cat), kind=kind,
     )
 
 
@@ -120,6 +133,30 @@ def _gru_direction(x: np.ndarray, mask: np.ndarray, g: dict,
     return out
 
 
+def _lstm_direction(x: np.ndarray, mask: np.ndarray, g: dict,
+                    reverse: bool) -> np.ndarray:
+    """Masked LSTM over [B, T, d] → [B, T, h] (N5 variant)."""
+    B, T, _ = x.shape
+    H = g["Ui"].shape[0]
+    h = np.zeros((B, H), dtype=np.float64)
+    c = np.zeros((B, H), dtype=np.float64)
+    out = np.zeros((B, T, H), dtype=np.float64)
+    steps = range(T - 1, -1, -1) if reverse else range(T)
+    for t in steps:
+        xt = x[:, t, :]
+        m = mask[:, t][:, None]
+        i = _sigmoid(xt @ g["Wi"] + h @ g["Ui"] + g["bi"])
+        f = _sigmoid(xt @ g["Wf"] + h @ g["Uf"] + g["bf"])
+        gg = np.tanh(xt @ g["Wg"] + h @ g["Ug"] + g["bg"])
+        o = _sigmoid(xt @ g["Wo"] + h @ g["Uo"] + g["bo"])
+        c_new = f * c + i * gg
+        h_new = o * np.tanh(c_new)
+        c = m * c_new + (1.0 - m) * c
+        h = m * h_new + (1.0 - m) * h
+        out[:, t, :] = h * m
+    return out
+
+
 def forward_tags(model: CharTagger, texts: list[str]) -> list[list[int]]:
     """Batch forward: per-char argmax category indices (the numpy analogue
     of tools/model_predict.py:180-202 predict_torch)."""
@@ -127,8 +164,9 @@ def forward_tags(model: CharTagger, texts: list[str]) -> list[list[int]]:
         return []
     mat, mask = _encode(texts)
     x = model.emb[mat]                      # [B, T, d]
-    hf = _gru_direction(x, mask, model.gru_f, reverse=False)
-    hb = _gru_direction(x, mask, model.gru_b, reverse=True)
+    cell = _gru_direction if model.kind == "gru" else _lstm_direction
+    hf = cell(x, mask, model.gru_f, reverse=False)
+    hb = cell(x, mask, model.gru_b, reverse=True)
     logits = np.concatenate([hf, hb], axis=2) @ model.fc_w + model.fc_b
     tags = logits.argmax(axis=2)            # [B, T]
     out = []
@@ -184,3 +222,35 @@ def predict_fields(
                 yield pd.DataFrame(cols)
 
     return df.select(id_col, text_col).mapInPandas(infer, schema)
+
+
+def post_predict_clean(
+    preds: DataFrame,
+    search: DataFrame,
+    id_col: str = "record_id",
+    postcode_col: str = "postcode",
+) -> DataFrame:
+    """N4 (tools/model_predict.py:262-302): normalise the prediction frame
+    for the score-based pass — missing LPI columns become blank strings,
+    pandas' float-cast artefacts ('.0') are stripped, and the model's
+    predicted postcode is kept only as nn_Postcode_predict while the
+    INPUT postcode replaces it (the reference trusts the data's postcode
+    over the model's to minimise match errors)."""
+    cats = [c for c in CATEGORIES if c != "IGNORE"]
+    out = preds
+    for c in cats:
+        col = f"nn_{c}"
+        if col not in out.columns:
+            out = out.withColumn(col, F.lit(""))
+        else:
+            cleaned = F.regexp_replace(
+                F.coalesce(F.col(col).cast("string"), F.lit("")), r"\.0", ""
+            )
+            out = out.withColumn(col, cleaned)
+    out = out.withColumnRenamed("nn_Postcode", "nn_Postcode_predict")
+    pc = search.select(
+        F.col(id_col),
+        F.coalesce(F.col(postcode_col).cast("string"), F.lit(""))
+        .alias("nn_Postcode"),
+    )
+    return out.join(pc, id_col, "left")

@@ -128,3 +128,43 @@ def knn_join_bruteforce(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def knn_join_lsh(
+    left: DataFrame, right: DataFrame, k: int = 3,
+    n_planes: int = 6, dim: int = 64,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus×corpus approximate k-NN join — the scale path the broadcast
+    brute-force join can't take: both sides get a hyperplane-LSH bucket
+    and candidates come only from the SAME bucket, so the join is a plain
+    equi-join on `bucket` (shuffle ∝ rows, pairs ∝ Σ bucket²) instead of a
+    full cross product.  Top-k per left id via one row_number window.
+
+    At 100 TB: bucket is the natural cluster/partition key for both
+    tables; with b buckets the pair fan-out drops by ~b× vs brute force.
+    Recall is tunable with n_planes (fewer planes → bigger buckets →
+    higher recall, more compute) or by OR-ing several plane sets like the
+    MinHash band trick (dedup.minhash_lsh_pairs).
+    """
+    from pyspark.sql import Window
+
+    sig = hyperplane_signature(F.col(vec_col), n_planes, dim)
+    l = left.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"),
+        sig.alias("bucket"),
+    )
+    r = right.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"),
+        sig.alias("bucket"),
+    )
+    pairs = l.join(r, "bucket").filter(F.col("qid") != F.col("cid"))
+    scored = pairs.select(
+        "qid", "cid", "bucket",
+        F.round(cosine_similarity(F.col("qvec"), F.col("cvec")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1174,3 +1174,106 @@ def _nn_parse_rows_only(spark, sf):
 
 
 _register("nn_field_parse", _nn_parse_rows_only, None)
+
+
+# ---------- I. J14 fuzzy-vs-score-based diagnostic comparison -------------
+
+from address_matcher_spark.operators import diagnose  # noqa: E402
+
+
+def _method_comparison_q(spark, sf):
+    """J14 (tools/recordlinkage_funcs.py:280-350): full-outer compare of
+    two synthesized per-record match sets — fuzzy found variant<=1,
+    score-based found variant in (1,2), neither saw variant 3 records
+    with odd ids."""
+    register_views(spark, sf)
+    s = spark.table("er_search")
+    fuzzy = s.filter((F.col("variant") <= 2) | (F.col("record_id") % 2 == 0)).select(
+        "record_id",
+        (F.col("variant") <= 1).alias("full_match"),
+        (F.lit(80.0) + F.col("variant")).alias("fuzzy_score"),
+    )
+    scored = s.filter(F.col("variant") >= 1).select(
+        "record_id",
+        F.col("variant").isin(1, 2).alias("full_match"),
+        (F.lit(90.0) + F.col("variant")).alias("fuzzy_score"),
+    )
+    return diagnose.compare_match_methods(fuzzy, scored)
+
+
+_register(
+    "er_method_comparison",
+    _method_comparison_q,
+    _with_er("""
+    SELECT coalesce(f.record_id, s.record_id) AS record_id,
+           coalesce(f.m, false) AS fuzzy_full_match,
+           f.sc AS fuzzy_method_score,
+           coalesce(s.m, false) AS score_full_match,
+           s.sc AS score_method_score,
+           (coalesce(f.m, false) OR coalesce(s.m, false)) AS full_match_either,
+           CASE WHEN coalesce(f.m, false) AND coalesce(s.m, false) THEN 'both'
+                WHEN coalesce(f.m, false) THEN 'fuzzy_only'
+                WHEN coalesce(s.m, false) THEN 'score_only'
+                ELSE 'neither' END AS method_agreement
+    FROM (SELECT record_id, (variant <= 1) AS m,
+                 cast(80.0 + variant AS double) AS sc
+          FROM er_search WHERE variant <= 2 OR record_id % 2 = 0) f
+    FULL OUTER JOIN
+         (SELECT record_id, variant IN (1, 2) AS m,
+                 cast(90.0 + variant AS double) AS sc
+          FROM er_search WHERE variant >= 1) s
+    ON f.record_id = s.record_id
+    """),
+)
+
+
+# ---------- J. LSH-bucketed corpus×corpus k-NN join ------------------------
+
+
+def _bucket_sql(n_planes: int = 6, dim: int = 64) -> str:
+    planes = _planes_py(n_planes, dim)
+
+    def dot_sql(plane):
+        lits = "[" + ", ".join(f"{v!r}" for v in plane) + "]"
+        return (
+            f"list_sum(list_transform(list_zip(embedding, {lits}), "
+            f"p -> cast(p[1] AS double) * p[2]))"
+        )
+
+    return "CAST(" + " + ".join(
+        f"(CASE WHEN {dot_sql(pl)} >= 0 THEN {2 ** p} ELSE 0 END)"
+        for p, pl in enumerate(planes)
+    ) + " AS BIGINT)"
+
+
+_register(
+    "ann_knn_join_lsh",
+    lambda spark, sf: _q(spark, sf, lambda s: (
+        similarity.knn_join_lsh(
+            s.table("embeddings").filter(F.col("vec_id") < 40),
+            s.table("embeddings"), k=3,
+        )
+    )),
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_bucket_sql()} AS bucket FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid, q.bucket AS bucket,
+             round(
+               list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                        p -> cast(p[1] AS double) * cast(p[2] AS double)))
+               / (sqrt(list_sum(list_transform(q.embedding,
+                        x -> cast(x AS double) * cast(x AS double))))
+                  * sqrt(list_sum(list_transform(c.embedding,
+                        x -> cast(x AS double) * cast(x AS double))))), 4)
+             AS cosine
+      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < 40)
+    SELECT qid, cid, bucket, cosine, rank FROM (
+      SELECT qid, cid, bucket, cosine,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, cid ASC) AS rank
+      FROM pairs) t
+    WHERE rank <= 3
+    """,
+)

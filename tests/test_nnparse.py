@@ -56,3 +56,35 @@ def test_spark_parity_with_local_forward(spark, model):
         want = N.fields_from_tags(addr, tags)
         for c in cats:
             assert got[rid][f"nn_{c}"] == want.get(c), (rid, c)
+
+
+def test_lstm_variant_runs_and_is_invariant():
+    """N5: model_type selects the cell; same harness, same invariants."""
+    m = N.init_tiny_model(seed=13, kind="lstm")
+    batch = N.forward_tags(m, ADDRS)
+    singles = [N.forward_tags(m, [a])[0] for a in ADDRS]
+    assert batch == singles
+    assert N.forward_tags(m, ADDRS) != N.forward_tags(
+        N.init_tiny_model(seed=13, kind="gru"), ADDRS
+    )
+
+
+def test_post_predict_clean(spark, model):
+    """N4: '.0' stripped, missing cols blank, input postcode replaces the
+    predicted one (kept as nn_Postcode_predict)."""
+    rows = [(0, "12 oak road sw9 7qd"), (1, "7 elm street")]
+    df = spark.createDataFrame(rows, "record_id long, full_address string")
+    from pyspark.sql import functions as F
+
+    preds = N.predict_fields(df, model).withColumn(
+        "nn_PaoStartNumber", F.lit("12.0")
+    )
+    search = spark.createDataFrame(
+        [(0, "SW9 7QD"), (1, None)], "record_id long, postcode string"
+    )
+    out = {r["record_id"]: r
+           for r in N.post_predict_clean(preds, search).collect()}
+    assert out[0]["nn_PaoStartNumber"] == "12"
+    assert out[0]["nn_Postcode"] == "SW9 7QD"
+    assert out[1]["nn_Postcode"] == ""
+    assert "nn_Postcode_predict" in out[0].asDict()

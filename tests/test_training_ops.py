@@ -112,3 +112,21 @@ def test_multimodal_plumbing(spark):
     # deterministic: same payload → same feature
     feats2 = {r.id: r for r in multimodal.extract_features(df, "payload", "id").collect()}
     assert feats[1].feature == feats2[1].feature
+
+
+def test_ngram_jaccard_dropped_shingle_count(spark):
+    """The doc-freq cap reports how many shingles it dropped when asked."""
+    from address_matcher_spark.operators import dedup as D
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(5)]
+    rows += [(10, "completely different text body here now"),
+             (11, "completely different text body here now")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    dropped = []
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.9, max_doc_freq=4,
+                                  dropped_out=dropped)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    # the 5-copy doc's shingles exceed df=4 and are capped -> that clique
+    # is lost (recall trade); the 2-copy pair survives
+    assert (10, 11) in got
+    assert dropped and dropped[0] > 0
