@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from address_matcher_spark.operators._util import ensure_parallel
+
 TOKEN_RE = r"[a-z0-9]+"
 
 # deterministic MinHash parameters (shared with the SQL oracle)
@@ -90,7 +92,7 @@ def ngram_jaccard_pairs(
     the hot path.  Jaccard sizes (na/nb) always count ALL shingles, so
     reported similarities are exact for surviving pairs either way.
     """
-    sh = docs.select(
+    sh = ensure_parallel(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles(F.col(text_col), n)).alias("shingle"),
     )
@@ -148,8 +150,10 @@ def minhash_lsh_pairs(
     """LSH candidate pairs: docs sharing any full band of the signature.
     Shuffle cost is docs×bands rows, never the quadratic pair space."""
     rows_per_band = k // bands
-    sig = docs.select(F.col(id_col).alias("doc_id"),
-                      *minhash_signature_cols(F.col(text_col), k))
+    sig = ensure_parallel(docs).select(
+        F.col(id_col).alias("doc_id"),
+        *minhash_signature_cols(F.col(text_col), k),
+    )
     band_rows = []
     for bidx in range(bands):
         cols = [F.col(f"mh{bidx * rows_per_band + j}").cast("string")
@@ -202,7 +206,7 @@ def simhash_buckets(docs: DataFrame, prefix_bits: int = 8,
                     text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Docs grouped by SimHash high-bit prefix — the scale path for
     hamming-near-dup candidate generation."""
-    return docs.select(
+    return ensure_parallel(docs).select(
         F.col(id_col).alias("doc_id"),
         simhash32(F.col(text_col)).alias("simhash"),
     ).withColumn("bucket", F.shiftright(F.col("simhash"), 32 - prefix_bits))

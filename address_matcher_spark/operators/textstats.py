@@ -97,6 +97,12 @@ def rolling_min_fingerprint(text: Column, gram: int = 5) -> Column:
 
 def document_stats(docs: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
+    # compute-heavy per row (one md5 per char 5-gram): round-robin the scan
+    # when it has fewer splits than the cluster has slots, else the whole
+    # projection runs on a single parquet split's task
+    want = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < want:
+        docs = docs.repartition(want)
     t = F.col(text_col)
     return docs.select(
         F.col(id_col),

@@ -493,7 +493,13 @@ _register(
 _register(
     "er_levenshtein_best",
     lambda spark, sf: _q(spark, sf, lambda s: (
-        s.table("er_search").alias("s")
+        # numbered repartition BEFORE the (broadcast) join: without it the
+        # pair fan-out + levenshtein run on the parquet scan's 1-2 splits
+        # (the ref side broadcasts, so the join inherits the left side's
+        # partitioning; AQE can't help a stage it sizes by input bytes)
+        s.table("er_search")
+        .repartition(s.sparkContext.defaultParallelism * 4)
+        .alias("s")
         .join(s.table("er_ref").alias("r"), F.col("s.postcode") == F.col("r.postcode"))
         # project the levenshtein ONCE before the window (orderBy on the
         # raw expression would evaluate it twice per row)

@@ -83,10 +83,9 @@ def _ensure_parallel(df: DataFrame) -> DataFrame:
     (one parquet split) would run it on one core.  Round-robin repartition
     when the scan has fewer splits than the cluster has slots — a no-op on
     real multi-split inputs."""
-    want = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < want:
-        return df.repartition(want)
-    return df
+    from address_matcher_spark.operators._util import ensure_parallel
+
+    return ensure_parallel(df)
 
 
 def prepare_search(df: DataFrame, cfg: MatchConfig) -> DataFrame:
