@@ -1,44 +1,67 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, decode/feature-extract as Arrow-batched UDFs.
 
-The container ships no image/audio libraries, so the decode kernels are
-STUBBED behind ``_decode_image_stub`` (deterministic fake) — the Spark-side
-plumbing (schemas, mapInPandas batching, partition sizing) is real and
-tested.  Swapping the stub for PIL/torchaudio is a one-function change on a
-real cluster.
+Decode support (zero external deps — stdlib struct/zlib + numpy only):
+  real   BMP (24bpp uncompressed), PNG (8-bit gray/RGB/RGBA,
+         non-interlaced: zlib inflate + sub/up/average/paeth unfilter),
+         WAV (PCM 8/16-bit)
+  stub   JPEG/GIF/FLAC/video — no codecs ship in this container, so these
+         fall back to ``_decode_stub`` (deterministic fake derived from the
+         payload bytes, clearly marked) — the Spark-side plumbing (schema,
+         mapInPandas batching, feature shapes) is identical either way;
+         swapping the stub for PIL/ffmpeg is a one-function change.
+
+Features: images → 8×8 block-mean grayscale (64-dim, the classic aHash
+grid); audio → [rms, zero-crossing-rate, mean, peak] + 4 coarse envelope
+bins (8-dim).
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MEDIA_META_SCHEMA = (
     "id long, n_bytes int, magic string, media_type string"
 )
-FEATURE_SCHEMA = "id long, width int, height int, feature array<float>"
+FEATURE_SCHEMA = (
+    "id long, media_type string, width int, height int, decoded boolean, "
+    "feature array<float>"
+)
 
 _MAGIC = {
     "89504e47": "image/png",
     "ffd8ffe0": "image/jpeg",
     "ffd8ffe1": "image/jpeg",
     "47494638": "image/gif",
-    "52494646": "audio/wav",
+    "424d": "image/bmp",
     "664c6143": "audio/flac",
 }
 
 
 def media_metadata(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
     """Typed metadata from the binary column — native expressions only
-    (magic-byte sniff via hex prefix)."""
+    (magic-byte sniff via hex prefix; RIFF containers disambiguated by the
+    format tag at offset 9)."""
     magic = F.lower(F.hex(F.substring(F.col(bin_col), 1, 4)))
+    riff_kind = F.lower(F.hex(F.substring(F.col(bin_col), 9, 4)))
     mt = F.lit("application/octet-stream")
     for sig, typ in _MAGIC.items():
-        mt = F.when(magic == sig, F.lit(typ)).otherwise(mt)
+        if len(sig) == 8:
+            mt = F.when(magic == sig, F.lit(typ)).otherwise(mt)
+        else:
+            mt = F.when(F.substring(magic, 1, len(sig)) == sig, F.lit(typ)).otherwise(mt)
+    mt = F.when(
+        (magic == "52494646") & (riff_kind == "57415645"), F.lit("audio/wav")
+    ).when(
+        (magic == "52494646") & (riff_kind == "41564920"), F.lit("video/avi")
+    ).otherwise(mt)
     return df.select(
         F.col(id_col).alias("id"),
         F.length(F.col(bin_col)).alias("n_bytes"),
@@ -47,16 +70,176 @@ def media_metadata(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _decode_image_stub(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """STUB decode: no image codecs in this container.  Returns a
-    deterministic fake (width, height, 8-dim feature) derived from the
-    payload bytes so the pipeline shape is fully exercisable.  Replace with
-    a real decoder (PIL.Image.open → resize → model) in production."""
+# ---------------------------------------------------------------------------
+# real decoders (uncompressed/stdlib-inflatable formats)
+# ---------------------------------------------------------------------------
+
+
+def _decode_bmp(b: bytes) -> np.ndarray:
+    """24bpp BI_RGB BMP → grayscale float array [h, w]."""
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    hdr_size = struct.unpack_from("<I", b, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER not supported")
+    w, h = struct.unpack_from("<ii", b, 18)
+    planes, bpp = struct.unpack_from("<HH", b, 26)
+    comp = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={comp}")
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    px = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=data_off)
+    px = px.reshape(h, stride)[:, : w * 3].reshape(h, w, 3).astype(np.float64)
+    if flip:
+        px = px[::-1]
+    # BGR order in BMP
+    return 0.114 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.299 * px[:, :, 2]
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filters (types 0-4) — the spec's recon pass."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = raw[pos + 1: pos + 1 + stride].astype(np.int32)
+        pos += 1 + stride
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ftype == 0:
+            rec = line
+        elif ftype == 2:  # up
+            rec = (line + prev) & 0xFF
+        else:
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                bup = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if ftype == 1:      # sub
+                    pred = a
+                elif ftype == 3:    # average
+                    pred = (a + bup) // 2
+                elif ftype == 4:    # paeth
+                    p = a + bup - c
+                    pa, pb, pc = abs(p - a), abs(p - bup), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (bup if pb <= pc else c)
+                else:
+                    raise NotImplementedError(f"PNG filter {ftype}")
+                rec[x] = (line[x] + pred) & 0xFF
+        out[y] = rec.astype(np.uint8)
+    return out
+
+
+def _decode_png(b: bytes) -> np.ndarray:
+    """8-bit non-interlaced gray/RGB/RGBA PNG → grayscale float [h, w]."""
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, idat, meta = 8, b"", None
+    while pos < len(b):
+        ln, typ = struct.unpack_from(">I4s", b, pos)
+        body = b[pos + 8: pos + 8 + ln]
+        if typ == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", body)
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    w, h, depth, ctype, _, _, interlace = meta
+    if depth != 8 or interlace != 0 or ctype not in (0, 2, 6):
+        raise NotImplementedError(f"PNG depth={depth} ctype={ctype} interlace={interlace}")
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    px = _png_unfilter(raw, h, w * ch, ch).reshape(h, w, ch).astype(np.float64)
+    if ch == 1:
+        return px[:, :, 0]
+    return 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+
+
+def _decode_wav(b: bytes) -> tuple[np.ndarray, int, int]:
+    """PCM 8/16-bit WAV → (mono float samples in [-1, 1], rate, channels)."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid, ln = struct.unpack_from("<4sI", b, pos)
+        body = b[pos + 8: pos + 8 + ln]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)
+    audio_fmt, channels, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise NotImplementedError(f"WAV fmt={audio_fmt} bits={bits}")
+    if bits == 16:
+        s = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    else:
+        s = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    if channels > 1:
+        s = s[: len(s) // channels * channels].reshape(-1, channels).mean(axis=1)
+    return s, rate, channels
+
+
+def _image_feature(gray: np.ndarray) -> np.ndarray:
+    """8×8 block-mean grid (aHash-style), row-major, scaled to [0, 1]."""
+    h, w = gray.shape
+    ys = np.linspace(0, h, 9).astype(int)
+    xs = np.linspace(0, w, 9).astype(int)
+    out = np.zeros(64, dtype=np.float64)
+    for i in range(8):
+        for j in range(8):
+            block = gray[ys[i]: max(ys[i + 1], ys[i] + 1),
+                         xs[j]: max(xs[j + 1], xs[j] + 1)]
+            out[i * 8 + j] = block.mean() if block.size else 0.0
+    return out / 255.0
+
+
+def _audio_feature(s: np.ndarray) -> np.ndarray:
+    """[rms, zcr, mean, peak] + 4 coarse envelope bins (8-dim)."""
+    if len(s) == 0:
+        return np.zeros(8)
+    rms = float(np.sqrt((s ** 2).mean()))
+    zcr = float((np.diff(np.signbit(s)) != 0).mean()) if len(s) > 1 else 0.0
+    env = [float(np.abs(c).mean()) if len(c) else 0.0
+           for c in np.array_split(s, 4)]
+    return np.array([rms, zcr, float(s.mean()), float(np.abs(s).max()), *env])
+
+
+def _decode_stub(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """STUB for formats whose codecs don't ship in this container
+    (JPEG/GIF/FLAC/video): a deterministic fake (width, height, 8-dim
+    feature) derived from the payload bytes so the pipeline shape stays
+    fully exercisable.  Replace with PIL/ffmpeg in production."""
     h = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8).astype(np.float32)
     width = int(h[:4].sum()) % 1024 + 1
     height = int(h[4:8].sum()) % 1024 + 1
     feature = h.reshape(8, 8).mean(axis=1) / 255.0
     return width, height, feature
+
+
+def decode_media(payload: bytes) -> tuple[str, int, int, bool, np.ndarray]:
+    """Dispatch by magic: (media_type, width, height, decoded, feature).
+    For audio, width = sample count and height = channel count."""
+    try:
+        if payload[:2] == b"BM":
+            gray = _decode_bmp(payload)
+            return ("image/bmp", gray.shape[1], gray.shape[0], True,
+                    _image_feature(gray))
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            gray = _decode_png(payload)
+            return ("image/png", gray.shape[1], gray.shape[0], True,
+                    _image_feature(gray))
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            s, rate, channels = _decode_wav(payload)
+            return ("audio/wav", len(s), channels, True, _audio_feature(s))
+    except NotImplementedError:
+        pass
+    w, hh, f = _decode_stub(payload)
+    return ("application/octet-stream", w, hh, False, f)
 
 
 def extract_features(df: DataFrame, bin_col: str, id_col: str,
@@ -68,15 +251,16 @@ def extract_features(df: DataFrame, bin_col: str, id_col: str,
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, widths, heights, feats = [], [], [], []
+            rows = {"id": [], "media_type": [], "width": [], "height": [],
+                    "decoded": [], "feature": []}
             for rid, payload in zip(pdf[id_col], pdf[bin_col]):
-                w, h, f = _decode_image_stub(bytes(payload))
-                ids.append(rid)
-                widths.append(w)
-                heights.append(h)
-                feats.append(f.tolist())
-            yield pd.DataFrame(
-                {"id": ids, "width": widths, "height": heights, "feature": feats}
-            )
+                mt, w, h, ok, feat = decode_media(bytes(payload))
+                rows["id"].append(rid)
+                rows["media_type"].append(mt)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["decoded"].append(ok)
+                rows["feature"].append([float(x) for x in feat])
+            yield pd.DataFrame(rows)
 
     return df.select(*fields).mapInPandas(run, FEATURE_SCHEMA)

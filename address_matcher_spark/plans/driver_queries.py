@@ -870,7 +870,7 @@ def _multimodal_rows_only(spark, sf):
     meta = M.media_metadata(binary_docs, "payload", "doc_id")
     feats = M.extract_features(binary_docs, "payload", "doc_id")
     return meta.join(feats, meta["id"] == feats["id"]).select(
-        meta["id"], "n_bytes", "media_type", "width", "height"
+        meta["id"], "n_bytes", meta["media_type"], "width", "height", "decoded"
     )
 
 

@@ -130,3 +130,110 @@ def test_ngram_jaccard_dropped_shingle_count(spark):
     # is lost (recall trade); the 2-copy pair survives
     assert (10, 11) in got
     assert dropped and dropped[0] > 0
+
+
+def _make_bmp(w, h, rgb):
+    """Minimal 24bpp BI_RGB BMP, solid colour."""
+    import struct
+    stride = (w * 3 + 3) & ~3
+    row = (bytes(rgb[::-1]) * w).ljust(stride, b"\0")
+    px = row * h
+    return (b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px),
+                          2835, 2835, 0, 0) + px)
+
+
+def _make_png(w, h, gray_val):
+    """Minimal 8-bit grayscale non-interlaced PNG, solid value, filter 0."""
+    import struct
+    import zlib
+
+    def chunk(typ, body):
+        c = struct.pack(">I", len(body)) + typ + body
+        return c + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes([gray_val]) * w for _ in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def _make_wav(samples, rate=8000):
+    import struct
+    import numpy as np
+
+    data = (np.asarray(samples) * 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def test_multimodal_real_decoders():
+    """BMP/PNG/WAV decode is REAL (stdlib struct/zlib): dimensions and
+    pixel/sample values verified against constructed payloads."""
+    import numpy as np
+
+    mt, w, h, ok, feat = multimodal.decode_media(_make_bmp(16, 8, (255, 255, 255)))
+    assert (mt, w, h, ok) == ("image/bmp", 16, 8, True)
+    assert np.allclose(feat, 1.0)  # solid white → every block mean 255/255
+
+    mt, w, h, ok, feat = multimodal.decode_media(_make_png(10, 12, 128))
+    assert (mt, w, h, ok) == ("image/png", 10, 12, True)
+    assert np.allclose(feat, 128 / 255.0)
+
+    s = np.sin(np.linspace(0, 20 * np.pi, 4000))
+    mt, w, h, ok, feat = multimodal.decode_media(_make_wav(s * 0.5))
+    assert (mt, h, ok) == ("audio/wav", 1, True)
+    assert w == 4000
+    assert abs(feat[0] - 0.5 / np.sqrt(2)) < 0.01  # rms of 0.5-amp sine
+
+    # JPEG has no codec in this container → stub path, marked undecoded
+    mt, w, h, ok, feat = multimodal.decode_media(b"\xff\xd8\xff\xe0" + b"j" * 64)
+    assert ok is False and mt == "application/octet-stream"
+
+
+def test_png_unfilter_paeth_roundtrip():
+    """Non-zero PNG filters decode correctly: encode rows with sub/up/
+    average/paeth filters and recover the original pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    w, h = 9, 4
+    img = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+    lines = []
+    for y in range(h):
+        ftype = [1, 2, 3, 4][y % 4]
+        cur = img[y].astype(np.int32)
+        prev = img[y - 1].astype(np.int32) if y else np.zeros(w, np.int32)
+        enc = np.zeros(w, dtype=np.int32)
+        for x in range(w):
+            a = int(cur[x - 1]) if x else 0
+            b = int(prev[x])
+            c = int(prev[x - 1]) if x else 0
+            if ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[x] = (int(cur[x]) - pred) & 0xFF
+        lines.append(bytes([ftype]) + enc.astype(np.uint8).tobytes())
+
+    def chunk(typ, body):
+        c = struct.pack(">I", len(body)) + typ + body
+        return c + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+           + chunk(b"IEND", b""))
+    gray = multimodal._decode_png(png)
+    assert np.array_equal(gray, img.astype(np.float64))
