@@ -210,3 +210,41 @@ def simhash_buckets(docs: DataFrame, prefix_bits: int = 8,
         F.col(id_col).alias("doc_id"),
         simhash32(F.col(text_col)).alias("simhash"),
     ).withColumn("bucket", F.shiftright(F.col("simhash"), 32 - prefix_bits))
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the semantic-dedup family):
+    hyperplane-LSH bucket both copies of the corpus, compare only within
+    buckets, keep pairs with cosine ≥ threshold.
+
+    Scale shape: shuffle ∝ rows (bucket equi-join), pairs ∝ Σ bucket² —
+    never the corpus cross-product.  Recall follows the LSH bound
+    P[same bucket] = (1 - θ/π)^n_planes for angle θ; raise recall by
+    lowering n_planes or unioning several plane sets (band trick)."""
+    from address_matcher_spark.operators.similarity import (
+        cosine_similarity,
+        hyperplane_signature,
+    )
+
+    sig = hyperplane_signature(F.col(vec_col), n_planes, dim)
+    a = embeddings.select(F.col(id_col).alias("a"),
+                          F.col(vec_col).alias("va"), sig.alias("bucket"))
+    b = embeddings.select(F.col(id_col).alias("b"),
+                          F.col(vec_col).alias("vb"), sig.alias("bucket"))
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    return pairs

@@ -1283,3 +1283,34 @@ _register(
     WHERE rank <= 3
     """,
 )
+
+
+# ---------- K. embedding-cosine near-dup (semantic dedup family) ----------
+
+_register(
+    "dedup_embedding_cosine",
+    lambda spark, sf: _q(spark, sf, lambda s: (
+        dedup.embedding_near_dup_pairs(s.table("embeddings"), threshold=0.9)
+    )),
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_bucket_sql()} AS bucket FROM embeddings)
+    SELECT a.vec_id AS a, c.vec_id AS b,
+           round(
+             list_sum(list_transform(list_zip(a.embedding, c.embedding),
+                      p -> cast(p[1] AS double) * cast(p[2] AS double)))
+             / (sqrt(list_sum(list_transform(a.embedding,
+                      x -> cast(x AS double) * cast(x AS double))))
+                * sqrt(list_sum(list_transform(c.embedding,
+                      x -> cast(x AS double) * cast(x AS double))))), 4)
+           AS cosine
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE round(
+             list_sum(list_transform(list_zip(a.embedding, c.embedding),
+                      p -> cast(p[1] AS double) * cast(p[2] AS double)))
+             / (sqrt(list_sum(list_transform(a.embedding,
+                      x -> cast(x AS double) * cast(x AS double))))
+                * sqrt(list_sum(list_transform(c.embedding,
+                      x -> cast(x AS double) * cast(x AS double))))), 4) >= 0.9
+    """,
+)
