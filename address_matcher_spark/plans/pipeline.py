@@ -391,8 +391,10 @@ def run_waterfall(
     matched_ids: DataFrame | None = None
     matched_count = 0
     for name, fn, side in plan:
-        if matched_count >= total_records:
+        if passes and matched_count >= total_records:
             break  # every search record already has a full match
+        # (pass 1 always runs so an empty input still yields a result
+        # frame with the full schema)
         residue = side if matched_ids is None else side.join(
             matched_ids, "record_id", "left_anti"
         )
