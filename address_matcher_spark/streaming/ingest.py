@@ -106,3 +106,58 @@ def matches_per_window(pages: DataFrame, window: str = "10 minutes",
             "lang", "n_pages",
         )
     )
+
+
+CHANGE_EVENT_SCHEMA = (
+    "url string, event string, n_crawls long, content_hash string"
+)
+_URL_STATE_SCHEMA = "n_crawls long, last_hash string"
+
+
+def url_change_events(pages: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: track per-url
+    crawl state (crawl count + last content hash) across micro-batches and
+    emit an event row whenever a url is first seen ('new') or its content
+    changes ('changed'); re-crawls with identical content emit nothing.
+
+    State is keyed by url and bounded by the key domain (at web scale,
+    pair with a ProcessingTimeTimeout eviction or an upstream watermarked
+    dedup).  This is the shape the reference's API-checkpoint loop
+    (tools/matcher_funcs.py:111-369) wants at stream scale: remember what
+    you already fetched, act only on novelty."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def track(key, batches, state: GroupState):
+        url = key[0]
+        n_crawls, last_hash = (state.get if state.exists else (0, None))
+        events = []
+        rows = pd.concat(list(batches), ignore_index=True)
+        # deterministic within-batch order: process by event time
+        rows = rows.sort_values("warc_ts")
+        for text in rows["text"]:
+            h = hashlib.md5(("" if text is None else text).encode()).hexdigest()
+            n_crawls += 1
+            if last_hash is None:
+                events.append((url, "new", n_crawls, h))
+            elif h != last_hash:
+                events.append((url, "changed", n_crawls, h))
+            last_hash = h
+        state.update((n_crawls, last_hash))
+        if events:
+            yield pd.DataFrame(
+                events, columns=["url", "event", "n_crawls", "content_hash"]
+            )
+
+    return (
+        pages.groupBy("url")
+        .applyInPandasWithState(
+            track,
+            outputStructType=CHANGE_EVENT_SCHEMA,
+            stateStructType=_URL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

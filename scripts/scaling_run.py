@@ -11,8 +11,8 @@ same job does across machines.  Calibration on this host (pure kernel,
 multiprocessing, zero Spark): 4->16 procs scales at ~0.90, 8->32 at ~0.74
 — that gap is the hardware ceiling, not the plan.  4->16 keeps the hi run
 under the turbo/bandwidth knee and is therefore the honest single-box
-proxy for multi-executor scaling; the 8->32 pair is reported alongside
-when SPARK_GRAFT_SCALE_FULL=1.
+proxy for multi-executor scaling; run the 8->32 pair for comparison with
+SPARK_GRAFT_SCALE_LO=8 SPARK_GRAFT_SCALE_HI=32.
 
 Each run is a fresh subprocess (fresh JVM) so executor-thread counts are
 honest.  Results land in BENCH/BASELINE.md + BENCH/scaling.json.

@@ -132,3 +132,54 @@ def test_windowed_aggregation(spark, fx, tmp_path):
     rows = spark.sql("select * from win_agg_c").collect()
     assert sum(r.n_pages for r in rows) == len(fx["pages"])
     assert all(r.lang == "en" for r in rows)
+
+
+def test_stateful_url_change_events(spark, tmp_path):
+    """applyInPandasWithState: per-url state survives across micro-batches
+    and triggers — 'new' on first sight, 'changed' on content change,
+    silence on identical re-crawl."""
+    import datetime
+
+    import pandas as pd
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    ts = datetime.datetime(2026, 1, 1)
+
+    def page(url, text, minute):
+        return dict(url=url, warc_ts=ts + datetime.timedelta(minutes=minute),
+                    html=text.encode(), text=text, lang="en")
+
+    def run_once(rows, chunk_name):
+        pdf = pd.DataFrame(rows)
+        tmp = os.path.join(in_dir, chunk_name + ".tmp")
+        spark.createDataFrame(pdf, I.PAGES_SCHEMA).coalesce(1) \
+            .write.mode("overwrite").parquet(tmp)
+        import glob
+        import shutil
+        part = glob.glob(tmp + "/part-*.parquet")[0]
+        shutil.move(part, os.path.join(in_dir, chunk_name))
+        shutil.rmtree(tmp)
+        q = (
+            I.url_change_events(I.stream_pages(spark, in_dir))
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once([page("a", "x", 0), page("b", "y", 1)], "c0.parquet")
+    run_once([page("a", "x", 10), page("b", "z", 11), page("c", "w", 12)],
+             "c1.parquet")
+
+    got = {(r["url"], r["event"], r["n_crawls"])
+           for r in spark.read.parquet(out_dir).collect()}
+    assert got == {
+        ("a", "new", 1), ("b", "new", 1),          # first batch
+        ("b", "changed", 2), ("c", "new", 1),      # second: a is silent
+    }
