@@ -333,6 +333,7 @@ def run_waterfall(
     ref_full: DataFrame,
     cfg: MatchConfig | None = None,
     store: CheckpointStore | None = None,
+    sides_materialized: bool = False,
 ) -> DataFrame:
     """O3/O4/O5: the full waterfall.  Returns one row per matched-or-
     attempted search record (best candidate + decisions + method)."""
@@ -342,13 +343,15 @@ def run_waterfall(
     # lineage: the standardisation layer is hundreds of expressions, and
     # without truncation every pass re-analyzes that whole tree on the
     # driver (~seconds per pass of pure planning).  With a store this is
-    # a real checkpoint (resumable); otherwise localCheckpoint.
+    # a real checkpoint (resumable); otherwise localCheckpoint.  Callers
+    # that already checkpointed/cached the sides pass
+    # sides_materialized=True to skip the redundant second scan+write.
     if store is not None:
         search_min = store.write(search_min, "side_search_min")
         search_full = store.write(search_full, "side_search_full")
         ref_min = store.write(ref_min, "side_ref_min")
         ref_full = store.write(ref_full, "side_ref_full")
-    else:
+    elif not sides_materialized:
         search_min = search_min.localCheckpoint()
         search_full = search_full.localCheckpoint()
         ref_min = ref_min.localCheckpoint()

@@ -111,7 +111,8 @@ def run_er_waterfall(spark, sides, cfg) -> tuple[int, float]:
 
     t0 = time.perf_counter()
     res = P.run_waterfall(sides["smin"], sides["sfull"],
-                          sides["rmin"], sides["rfull"], cfg)
+                          sides["rmin"], sides["rfull"], cfg,
+                          sides_materialized=True)
     matched = res.filter(F.col("full_match")).count()
     return matched, time.perf_counter() - t0
 

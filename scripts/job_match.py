@@ -17,7 +17,17 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
+
+# direct `python scripts/job_match.py` from any cwd; spark-submit users
+# ship the package via --py-files instead (submit_example.sh).  PYTHONPATH
+# (not just sys.path) so executor-side Python workers can unpickle UDFs.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = (
+    _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+)
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -66,6 +76,19 @@ def main() -> None:
         cfg, store=store,
     )
     results.write.mode("overwrite").parquet(os.path.join(out_dir, "matches"))
+
+    # J10: the reference's user-facing artifact — the ORIGINAL search rows
+    # with match columns appended (tools/fuzzy_match.py:389-444); on a
+    # prior-results rerun the new matches win and prior ones fill gaps
+    from address_matcher_spark.operators.cofilter import join_to_orig_df
+
+    orig = P.search_from_pages(spark.read.parquet(pages_dir))
+    results_on_orig = join_to_orig_df(
+        spark.read.parquet(os.path.join(out_dir, "matches")), orig, "record_id"
+    )
+    results_on_orig.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "results_on_orig")
+    )
     clusters = cluster_records(
         spark.read.parquet(os.path.join(out_dir, "matches")), store=store
     )
