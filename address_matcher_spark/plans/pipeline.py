@@ -422,6 +422,8 @@ def match_summary(results: DataFrame) -> DataFrame:
         F.count(F.when(F.col("full_match"), 1)).alias("matched"),
         F.count(F.when(~F.col("full_match"), 1)).alias("not_matched"),
         F.round(
-            100 * F.count(F.when(F.col("full_match"), 1)) / F.count(F.lit(1)), 1
+            100 * F.count(F.when(F.col("full_match"), 1))
+            / F.greatest(F.count(F.lit(1)), F.lit(1)),  # ANSI-safe on empty
+            1,
         ).alias("match_rate_pct"),
     )

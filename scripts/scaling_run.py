@@ -74,7 +74,10 @@ def main() -> None:
         "queries_hi": r_hi["queries"],
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+    # the default 4->16 pair is the headline artifact; other pairs land in
+    # suffixed files so secondary evidence never clobbers the headline
+    suffix = "" if (lo, hi) == (4, 16) else f"_{lo}to{hi}"
+    with open(os.path.join(REPO, "BENCH", f"scaling{suffix}.json"), "w") as f:
         json.dump(result, f, indent=1)
 
     md = f"""# BENCH/BASELINE.md — measured numbers (rebuilt engine)
@@ -120,7 +123,8 @@ Per-operator timings (seconds, sf dir = `{sf_dir}`):
 """
     for name in r_lo["queries"]:
         md += f"| {name} | {r_lo['queries'][name]} | {r_hi['queries'][name]} |\n"
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    name = "BASELINE.md" if not suffix else f"BASELINE{suffix}.md"
+    with open(os.path.join(REPO, "BENCH", name), "w") as f:
         f.write(md)
     print(json.dumps(result))
 

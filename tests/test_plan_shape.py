@@ -1,0 +1,80 @@
+"""Physical-plan shape assertions: the scale properties the engine claims
+(pushdown, pruning, no cartesian joins, pinned scoring parallelism) are
+locked in here so a refactor that silently regresses the plan fails CI."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from address_matcher_spark import datagen
+from address_matcher_spark.plans import pipeline as P
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_parquet_filter_pushdown(spark):
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]" in plan
+
+
+def test_parquet_column_pruning(spark):
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema  # untouched columns never read
+
+
+@pytest.fixture(scope="module")
+def tiny_sides(spark):
+    fx = datagen.generate(datagen.Scale(n_ref=120, n_search=80))
+    cfg = P.MatchConfig(run_field_passes=False)
+    search = P.prepare_search(P.search_from_pages(
+        spark.createDataFrame(fx["pages"])), cfg)
+    ref = P.prepare_reference(spark.createDataFrame(fx["reference_addresses"]))
+    return (P.standardise_search(search, False),
+            P.standardise_reference(ref, False), cfg)
+
+
+def test_fuzzy_pass_no_cartesian_product(tiny_sides):
+    """The candidate stage must never degrade to a cross product: blocking
+    is an equi-join/cogroup on the block key + salt."""
+    smin, rmin, cfg = tiny_sides
+    out = P.fuzzy_pass(smin.localCheckpoint(), rmin.localCheckpoint(),
+                       "Postcode", cfg, "plan_test")
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scoring_stage_parallelism_pinned(tiny_sides):
+    """The cogroup cross-score runs on defaultParallelism*8 partitions —
+    the explicit numbered repartition that AQE coalescing must not undo."""
+    smin, rmin, cfg = tiny_sides
+    out = P.fuzzy_pass(smin.localCheckpoint(), rmin.localCheckpoint(),
+                       "Postcode", cfg, "plan_test")
+    want = smin.sparkSession.sparkContext.defaultParallelism * 8
+    assert f", {want}), REPARTITION_BY_NUM" in _plan(out)
+
+
+def test_semi_join_prefilter_in_plan(tiny_sides):
+    """The reference side is prefiltered with a LeftSemi join before any
+    scoring (J3/X3) — ref blocks nobody searches never ship."""
+    smin, rmin, cfg = tiny_sides
+    out = P.fuzzy_pass(smin.localCheckpoint(), rmin.localCheckpoint(),
+                       "Postcode", cfg, "plan_test")
+    assert "LeftSemi" in _optimized(out)
