@@ -1290,7 +1290,7 @@ _register(
 _register(
     "dedup_embedding_cosine",
     lambda spark, sf: _q(spark, sf, lambda s: (
-        dedup.embedding_near_dup_pairs(s.table("embeddings"), threshold=0.9)
+        dedup.embedding_near_dup_pairs(s.table("embeddings"), threshold=0.35)
     )),
     f"""
     WITH b AS (
@@ -1311,6 +1311,6 @@ _register(
              / (sqrt(list_sum(list_transform(a.embedding,
                       x -> cast(x AS double) * cast(x AS double))))
                 * sqrt(list_sum(list_transform(c.embedding,
-                      x -> cast(x AS double) * cast(x AS double))))), 4) >= 0.9
+                      x -> cast(x AS double) * cast(x AS double))))), 4) >= 0.35
     """,
 )
