@@ -296,6 +296,101 @@ def tsr_presplit(ta: frozenset, tb: frozenset, chars_a: int, chars_b: int,
     return best if best >= cutoff else 0.0
 
 
+_POPCNT8 = np.array([bin(x).count("1") for x in range(256)], dtype=np.uint8)
+
+
+def _char_count_rows(strs: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row ascii char histograms [n, 128] + validity mask (non-ascii
+    rows are marked invalid so callers skip bound-based pruning on them)."""
+    out = np.zeros((len(strs), 128), dtype=np.int32)
+    valid = np.ones(len(strs), dtype=bool)
+    for i, s in enumerate(strs):
+        if not s:
+            continue
+        if not s.isascii():
+            valid[i] = False
+            continue
+        arr = np.frombuffer(s.encode(), dtype=np.uint8)
+        out[i, : arr.max() + 1] = np.bincount(arr)
+    return out, valid
+
+
+def _lcs_batch(a_strs: list[str], b_strs: list[str]) -> np.ndarray:
+    """LCS lengths for aligned string pairs, vectorized.
+
+    Hyyrö's bit-parallel LCS state is one machine word per pair when the
+    left string fits 63 bits, so the whole batch advances in lockstep as
+    numpy uint64 arrays: per character position, one fancy-indexed mask
+    gather + four elementwise ops over every still-active pair.  Pairs are
+    sorted by right-string length so the active set is always a prefix.
+    Left strings over 63 chars (or non-latin-1 text) fall back to the
+    scalar bigint kernel."""
+    n = len(a_strs)
+    out = np.zeros(n, dtype=np.float64)
+    groups: dict[str, int] = {}
+    ks: list[int] = []
+    bids: list[int] = []
+    scalar: list[int] = []
+    for k, a in enumerate(a_strs):
+        la = len(a)
+        if la == 0 or len(b_strs[k]) == 0:
+            continue  # lcs = 0
+        if la > 63 or not a.isascii() or not b_strs[k].isascii():
+            scalar.append(k)
+            continue
+        bid = groups.setdefault(a, len(groups))
+        ks.append(k)
+        bids.append(bid)
+    for k in scalar:
+        out[k] = _lcs_len(a_strs[k], b_strs[k])
+    if not ks:
+        return out
+    uniq_a = list(groups)
+    tables = np.zeros((len(uniq_a), 256), dtype=np.uint64)
+    masks_a = np.zeros(len(uniq_a), dtype=np.uint64)
+    for bi, a in enumerate(uniq_a):
+        row = tables[bi]
+        acc = [0] * 256
+        for pos, ch in enumerate(a):
+            acc[ord(ch)] |= 1 << pos
+        nz = [c for c in range(256) if acc[c]]
+        row[nz] = [acc[c] for c in nz]
+        masks_a[bi] = (1 << len(a)) - 1
+    ks_arr = np.array(ks, dtype=np.int64)
+    bid_arr = np.array(bids, dtype=np.int64)
+    lbs = np.array([len(b_strs[k]) for k in ks], dtype=np.int64)
+    order = np.argsort(-lbs, kind="stable")
+    ks_arr, bid_arr, lbs = ks_arr[order], bid_arr[order], lbs[order]
+    maxlen = int(lbs[0])
+    # encode each DISTINCT right string once (disjoint-token pairs reuse
+    # the same full join across many left rows), then row-gather
+    b_groups: dict[str, int] = {}
+    b_ids = np.empty(len(ks_arr), dtype=np.int64)
+    for row_idx, k in enumerate(ks_arr):
+        b_ids[row_idx] = b_groups.setdefault(b_strs[int(k)], len(b_groups))
+    codes_u = np.zeros((len(b_groups), maxlen), dtype=np.uint8)
+    for b, ub in b_groups.items():
+        codes_u[ub, : len(b)] = np.frombuffer(
+            b.encode("latin-1"), dtype=np.uint8
+        )
+    codes = codes_u[b_ids]
+    masks = masks_a[bid_arr]
+    st = masks.copy()
+    neg_lbs = -lbs  # ascending; active pairs (lb > pos) form a prefix
+    for pos in range(maxlen):
+        n_act = int(np.searchsorted(neg_lbs, -pos, side="left"))
+        if n_act == 0:
+            break
+        sl = slice(0, n_act)
+        m = tables[bid_arr[sl], codes[sl, pos]]
+        u = st[sl] & m
+        st[sl] = ((st[sl] + u) | (st[sl] - u)) & masks[sl]
+    la_vec = np.array([len(a_strs[int(k)]) for k in ks_arr], dtype=np.float64)
+    pc = _POPCNT8[st.view(np.uint8).reshape(-1, 8)].sum(axis=1)
+    out[ks_arr] = la_vec - pc
+    return out
+
+
 def cross_token_set_scores(
     left_tokens: list, right_tokens: list, cutoff: float
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -377,65 +472,60 @@ def cross_token_set_scores(
     empty_side = (na[:, None] == 0) | (nb[None, :] == 0)
     undecided &= ~empty_side
     if undecided.any():
-        # group undecided pairs by search row: the bit-parallel LCS mask
-        # table is built once per left diff string and streamed over the
-        # right diffs; for the (common) disjoint-token pairs the diffs are
-        # the precomputed full sorted joins.
         ljoin = [" ".join(sorted(t)) for t in lsets]
         rjoin = [" ".join(sorted(t)) for t in rsets]
+        # Tighter vectorized bound for DISJOINT pairs (the bulk of the
+        # undecided set): lcs(a, b) ≤ Σ_c min(count_a(c), count_b(c)), so
+        # r ≤ 200·common_chars/lensum.  For C==0 the diffs are the full
+        # joins, whose char histograms are per-ROW — one [nl,nr] min-sum
+        # per distinct character retires most pairs without any LCS.
+        # (For C==0, sect_len==0 → best_sect==0, so r<cutoff ⇒ score 0.)
+        cnt_a, valid_a = _char_count_rows(ljoin)
+        cnt_b, valid_b = _char_count_rows(rjoin)
+        both = (cnt_a.sum(axis=0) > 0) & (cnt_b.sum(axis=0) > 0)
+        common = np.zeros((nl, nr), dtype=np.float64)
+        for c in np.nonzero(both)[0]:
+            common += np.minimum(cnt_a[:, c][:, None], cnt_b[:, c][None, :])
+        lj_len = np.array([len(s) for s in ljoin], dtype=np.float64)
+        rj_len = np.array([len(s) for s in rjoin], dtype=np.float64)
+        full_lensum = lj_len[:, None] + rj_len[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            char_ub = np.where(full_lensum > 0, 200.0 * common / full_lensum,
+                               100.0)
+        retire = (
+            undecided & (C == 0) & (char_ub < cutoff)
+            & valid_a[:, None] & valid_b[None, :]
+        )
+        undecided &= ~retire
+    if undecided.any():
+        # materialise the per-pair diff strings (Python set ops only where
+        # the intersection is non-empty; disjoint pairs reuse the joins),
+        # then run ALL the LCS fallbacks in one vectorized batch.
         ui, uj = np.nonzero(undecided)
         c_vals = C[ui, uj]
-        order = np.argsort(ui, kind="stable")
-        ui = ui[order]
-        uj = uj[order]
-        c_vals = c_vals[order]
-        pos = 0
         n_u = len(ui)
-        while pos < n_u:
-            i = int(ui[pos])
-            end = pos
-            while end < n_u and ui[end] == i:
-                end += 1
-            ta = lsets[i]
-            # rows where the intersection is empty share the same left diff
-            pm_cache: dict[str, tuple[dict, int, int]] = {}
-            for k in range(pos, end):
-                j = int(uj[k])
-                if c_vals[k] == 0.0:
-                    a = ljoin[i]
-                    b = rjoin[j]
-                else:
-                    a = " ".join(sorted(ta - rsets[j]))
-                    b = " ".join(sorted(rsets[j] - ta))
-                ent = pm_cache.get(a)
-                if ent is None:
-                    pm: dict[str, int] = {}
-                    bit = 1
-                    for ch in a:
-                        pm[ch] = pm.get(ch, 0) | bit
-                        bit <<= 1
-                    ent = (pm, len(a), (1 << len(a)) - 1)
-                    pm_cache[a] = ent
-                pm, la, mask = ent
-                lb = len(b)
-                if la == 0 or lb == 0:
-                    lcs = 0
-                else:
-                    st = mask
-                    get = pm.get
-                    for ch in b:
-                        m = get(ch)
-                        if m:
-                            u = st & m
-                            st = ((st + u) | (st - u)) & mask
-                    lcs = la - (st & mask).bit_count()
-                lensum_ij = la + lb
-                r = (200.0 * lcs / lensum_ij) if lensum_ij else 100.0
-                bs = best_sect[i, j]
-                s = r if r > bs else bs
-                if s >= cutoff:
-                    score[i, j] = s
-            pos = end
+        a_strs: list[str] = []
+        b_strs: list[str] = []
+        for k in range(n_u):
+            i = int(ui[k])
+            j = int(uj[k])
+            if c_vals[k] == 0.0:
+                a_strs.append(ljoin[i])
+                b_strs.append(rjoin[j])
+            else:
+                ta = lsets[i]
+                tb = rsets[j]
+                a_strs.append(" ".join(sorted(ta - tb)))
+                b_strs.append(" ".join(sorted(tb - ta)))
+        lcs = _lcs_batch(a_strs, b_strs)
+        la_arr = np.array([len(a) for a in a_strs], dtype=np.float64)
+        lb_arr = np.array([len(b) for b in b_strs], dtype=np.float64)
+        pair_lensum = la_arr + lb_arr
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = np.where(pair_lensum > 0, 200.0 * lcs / pair_lensum, 100.0)
+        s_vals = np.maximum(r, best_sect[ui, uj])
+        ok = s_vals >= cutoff
+        score[ui[ok], uj[ok]] = s_vals[ok]
     score[empty_side] = 0.0
     keep = score >= cutoff
     il, jr = np.nonzero(keep)
