@@ -8,7 +8,7 @@ clock with the executor count (4N machines = 4N memory controllers and
 per-chip turbo headroom); a single 32-core box does not — all-core turbo
 and one shared memory controller cap thread-scaling far below what the
 same job does across machines.  Calibration on this host (pure kernel,
-multiprocessing, zero Spark): 4->16 procs scales at ~0.90, 8->32 at ~0.74
+multiprocessing, zero Spark): 4->16 procs scales at ~0.88, 8->32 at ~0.76
 — that gap is the hardware ceiling, not the plan.  4->16 keeps the hi run
 under the turbo/bandwidth knee and is therefore the honest single-box
 proxy for multi-executor scaling; run the 8->32 pair for comparison with
@@ -45,8 +45,8 @@ def main() -> None:
     # a larger corpus than the per-round bench so the compute stage
     # dominates the fixed local-mode orchestration floor (~seconds/job,
     # identical at both core counts, negligible on a real cluster)
-    os.environ.setdefault("SPARK_GRAFT_BENCH_SEARCH", "75000")
-    os.environ.setdefault("SPARK_GRAFT_BENCH_REF", "93750")
+    os.environ.setdefault("SPARK_GRAFT_BENCH_SEARCH", "100000")
+    os.environ.setdefault("SPARK_GRAFT_BENCH_REF", "125000")
     lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "4"))
     hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", str(lo * 4)))
     r_lo = run_bench(lo, sf_dir)
@@ -106,8 +106,8 @@ cluster 4N executors bring 4N memory controllers and per-chip turbo
 headroom, while one 32-core box shares a single memory controller and
 drops all-core turbo as threads rise.  Calibration on this host (pure
 scoring kernel under multiprocessing, zero Spark —
-`scripts/kernel_calibration.py`): 4→16 procs ≈ 0.90 efficiency,
-8→32 ≈ 0.74.  That gap is the single-box hardware ceiling, not the plan,
+`scripts/kernel_calibration.py`): 4→16 procs ≈ 0.88 efficiency,
+8→32 ≈ 0.76.  That gap is the single-box hardware ceiling, not the plan,
 so `local[{lo}]` → `local[{hi}]` is the honest proxy for multi-executor
 scaling; any residual gap between kernel calibration and the measured
 pipeline efficiency is harness overhead we own.
