@@ -1,0 +1,40 @@
+"""File-type dispatch (S1 — tools/matcher_funcs.py:47-67 `detect_file_type`
+/ `read_file`): extension → Spark reader.
+
+The reference reads csv/csv.gz/zip/xlsx/parquet into pandas; here every
+format lands as a DataFrame scan so downstream pruning/pushdown work.
+xlsx has no Spark-native reader and no openpyxl in this container — it
+raises with the same "file type not recognised" contract as the
+reference's else-branch (matcher_funcs.py:58).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def detect_file_type(filename: str) -> str:
+    """S1: extension sniff (tools/matcher_funcs.py:47-58)."""
+    low = filename.lower().rstrip("/")
+    if low.endswith(".parquet") or low.endswith(".pq"):
+        return "parquet"
+    if low.endswith((".csv", ".csv.gz", ".csv.zip", ".csv.bz2")):
+        return "csv"
+    if low.endswith(".xlsx"):
+        return "xlsx"
+    raise ValueError(f"file type not recognised: {filename}")
+
+
+def read_file(spark: SparkSession, path: str,
+              infer_schema: bool = True) -> DataFrame:
+    """S1: one reader for every supported input.  CSV compression
+    (gz/bz2) is transparent to Spark's csv source."""
+    kind = detect_file_type(path)
+    if kind == "parquet":
+        return spark.read.parquet(path)
+    if kind == "csv":
+        return spark.read.csv(path, header=True, inferSchema=infer_schema)
+    raise NotImplementedError(
+        "xlsx needs a pandas/openpyxl sidecar (absent in this container); "
+        "convert to csv/parquet upstream"
+    )

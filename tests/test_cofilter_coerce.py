@@ -154,3 +154,52 @@ def test_multifile_union_provenance(spark, tmp_path):
     assert rows[2]["reference_file"] == "api_extract"
     assert rows[1]["Postcode"] == "SW9 7QD" and rows[2]["Postcode"] == "CR2 6XH"
     assert rows[1]["input_file"].endswith(".parquet")
+
+
+# ---------------------------------------------------------------------------
+# S1 file-type dispatch
+# ---------------------------------------------------------------------------
+
+
+def test_read_file_csv_gz_and_parquet(spark, tmp_path):
+    from address_matcher_spark.sources import read as R
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    pq = str(tmp_path / "t.parquet")
+    df.write.parquet(pq)
+    assert R.read_file(spark, pq).count() == 2
+
+    import gzip
+    csv_gz = str(tmp_path / "t.csv.gz")
+    with gzip.open(csv_gz, "wt") as f:
+        f.write("id,v\n1,a\n2,b\n")
+    got = R.read_file(spark, csv_gz)
+    assert got.count() == 2 and set(got.columns) == {"id", "v"}
+
+    assert R.detect_file_type("x.csv.bz2") == "csv"
+    with pytest.raises(ValueError):
+        R.detect_file_type("notes.txt")
+    with pytest.raises(NotImplementedError):
+        R.read_file(spark, "book.xlsx")
+
+
+def test_waterfall_empty_search_side(spark, ref_df):
+    """An all-filtered search side still returns a schema-complete empty
+    result (pass 1 always runs) and an ANSI-safe summary."""
+    from address_matcher_spark.plans import pipeline as P
+
+    empty = spark.createDataFrame(
+        [], "record_id long, url string, address_line1 string, "
+            "address_line2 string, town string, postcode string"
+    )
+    cfg = P.MatchConfig(run_field_passes=False)
+    s, r = P.prepare_sides(empty, ref_df, cfg)
+    res = P.run_waterfall(
+        P.standardise_search(s, False), P.standardise_search(s, True),
+        P.standardise_reference(r, False), P.standardise_reference(r, True),
+        cfg,
+    )
+    assert res.count() == 0
+    assert set(P.RESULT_COLS) <= set(res.columns)
+    row = P.match_summary(res).collect()[0]
+    assert row["attempted"] == 0 and row["match_rate_pct"] == 0.0
