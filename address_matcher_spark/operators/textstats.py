@@ -116,3 +116,55 @@ def document_stats(docs: DataFrame, text_col: str = "text",
         fingerprint(t).alias("fingerprint"),
         rolling_min_fingerprint(t).alias("min_gram_hash"),
     )
+
+
+# Gopher-style quality-filter thresholds (Rae et al. 2021, §A1.1 — scaled
+# word-count floor for the short synthetic docs; the published floor is 50)
+GOPHER_MIN_WORDS = 5
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_RATIO = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_quality_filter(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Gopher-rule document filter: keep/drop + first failing rule.
+
+    All ratios are exact-integer divisions compared raw (no rounding), so
+    the SQL oracle reproduces every boundary decision bit-for-bit.  Native
+    expressions only — at 100 TB this is one codegen'd projection over the
+    scan, no shuffle."""
+    t = F.col(text_col)
+    words = F.regexp_extract_all(F.lower(t), F.lit(r"\S+"), 0)
+    n_words = F.size(words)
+    letters = F.regexp_extract_all(F.lower(t), F.lit(r"[a-z]+"), 0)
+    letter_chars = F.aggregate(
+        F.transform(letters, F.length), F.lit(0), lambda a, x: a + x
+    )
+    mwl = letter_chars / F.greatest(F.size(letters), F.lit(1))
+    n_hash = F.length(F.regexp_replace(t, r"[^#]", ""))
+    n_ellipsis = F.size(F.regexp_extract_all(t, F.lit(r"\.\.\."), 0))
+    symbol_ratio = (n_hash + n_ellipsis) / F.greatest(n_words, F.lit(1))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    alpha_ratio = alpha_words / F.greatest(n_words, F.lit(1))
+    n_stop = stopword_count(t)
+
+    reason = (
+        F.when(n_words < F.lit(GOPHER_MIN_WORDS), F.lit("too_few_words"))
+        .when(n_words > F.lit(GOPHER_MAX_WORDS), F.lit("too_many_words"))
+        .when(mwl < F.lit(GOPHER_MIN_MEAN_WORD_LEN), F.lit("mean_word_len_low"))
+        .when(mwl > F.lit(GOPHER_MAX_MEAN_WORD_LEN), F.lit("mean_word_len_high"))
+        .when(symbol_ratio > F.lit(GOPHER_MAX_SYMBOL_RATIO),
+              F.lit("symbol_ratio_high"))
+        .when(alpha_ratio < F.lit(GOPHER_MIN_ALPHA_WORD_RATIO),
+              F.lit("alpha_word_ratio_low"))
+        .when(n_stop < F.lit(GOPHER_MIN_STOPWORDS), F.lit("too_few_stopwords"))
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        reason.isNull().alias("keep"),
+        reason.alias("drop_reason"),
+    )

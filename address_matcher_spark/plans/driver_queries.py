@@ -1314,3 +1314,91 @@ _register(
                       x -> cast(x AS double) * cast(x AS double))))), 4) >= 0.35
     """,
 )
+
+
+# ---------- L. Gopher quality filter + end-to-end dedup clusters ----------
+
+_GOPHER_STOP = stopword_count_oracle("text", "en")
+
+_register(
+    "gopher_quality_filter",
+    lambda spark, sf: _q(spark, sf, lambda s: (
+        textstats.gopher_quality_filter(s.table("documents"))
+    )),
+    rf"""
+    SELECT doc_id,
+           (reason IS NULL) AS keep,
+           reason AS drop_reason
+    FROM (
+      SELECT doc_id,
+        CASE
+          WHEN n_words < 5 THEN 'too_few_words'
+          WHEN n_words > 100000 THEN 'too_many_words'
+          WHEN letter_chars / greatest(n_letters, 1) < 3.0
+            THEN 'mean_word_len_low'
+          WHEN letter_chars / greatest(n_letters, 1) > 10.0
+            THEN 'mean_word_len_high'
+          WHEN (n_hash + n_ellipsis) / greatest(n_words, 1) > 0.1
+            THEN 'symbol_ratio_high'
+          WHEN alpha_words / greatest(n_words, 1) < 0.8
+            THEN 'alpha_word_ratio_low'
+          WHEN n_stop < 2 THEN 'too_few_stopwords'
+        END AS reason
+      FROM (
+        SELECT doc_id,
+          len(regexp_extract_all(lower(text), '\S+')) AS n_words,
+          coalesce(list_sum(list_transform(
+            regexp_extract_all(lower(text), '[a-z]+'), w -> length(w))), 0)
+            AS letter_chars,
+          len(regexp_extract_all(lower(text), '[a-z]+')) AS n_letters,
+          length(regexp_replace(text, '[^#]', '', 'g')) AS n_hash,
+          len(regexp_extract_all(text, '\.\.\.')) AS n_ellipsis,
+          len(list_filter(regexp_extract_all(lower(text), '\S+'),
+                          w -> regexp_matches(w, '[a-z]'))) AS alpha_words,
+          {_GOPHER_STOP} AS n_stop
+        FROM documents) m) t
+    """,
+)
+
+
+def _dedup_clusters_q(spark, sf):
+    """End-to-end near-dup clustering: MinHash-LSH candidate pairs →
+    connected components → one cluster id per document in any pair."""
+    register_views(spark, sf)
+    from address_matcher_spark.operators.cluster import connected_components
+
+    pairs = dedup.minhash_lsh_pairs(spark.table("documents"))
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    return connected_components(edges)
+
+
+_register(
+    "dedup_minhash_clusters",
+    _dedup_clusters_q,
+    f"""
+    WITH RECURSIVE sig AS (
+      SELECT doc_id, {', '.join(minhash_oracle_exprs())} FROM documents),
+    bands AS (
+      SELECT doc_id, 0 AS band,
+             concat(cast(mh0 AS string), ':', cast(mh1 AS string), ':', cast(mh2 AS string)) AS band_sig FROM sig
+      UNION ALL
+      SELECT doc_id, 1,
+             concat(cast(mh3 AS string), ':', cast(mh4 AS string), ':', cast(mh5 AS string)) FROM sig
+      UNION ALL
+      SELECT doc_id, 2,
+             concat(cast(mh6 AS string), ':', cast(mh7 AS string), ':', cast(mh8 AS string)) FROM sig
+      UNION ALL
+      SELECT doc_id, 3,
+             concat(cast(mh9 AS string), ':', cast(mh10 AS string), ':', cast(mh11 AS string)) FROM sig),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+    sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    reach(node, lbl) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node)
+    SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node
+    """,
+)
