@@ -1402,3 +1402,57 @@ _register(
     SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node
     """,
 )
+
+
+# ---------- M. composed training-corpus cleaning pipeline -----------------
+
+
+def _corpus_keep_q(spark, sf):
+    """The full cleaning pipeline a pre-training corpus runs: Gopher
+    quality filter ∧ drop exact-dup non-keepers ∧ drop near-dup cluster
+    non-keepers (keeper = min doc id).  Three anti-joins over operators
+    that each shuffle at most once."""
+    register_views(spark, sf)
+    from address_matcher_spark.operators.cluster import connected_components
+
+    docs = spark.table("documents")
+    quality = textstats.gopher_quality_filter(docs)
+    hashes = docs.select("doc_id", F.md5(F.col("text")).alias("content_hash"))
+    exact_nonkeepers = (
+        hashes.join(dedup.exact_duplicates(docs), "content_hash")
+        .filter(F.col("doc_id") != F.col("keeper_id"))
+        .select("doc_id")
+    )
+    pairs = dedup.minhash_lsh_pairs(docs)
+    labels = connected_components(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    near_nonkeepers = (
+        labels.filter(F.col("node") != F.col("cluster_id"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    return (
+        quality.filter(F.col("keep"))
+        .select("doc_id")
+        .join(exact_nonkeepers, "doc_id", "left_anti")
+        .join(near_nonkeepers, "doc_id", "left_anti")
+    )
+
+
+_register(
+    "corpus_clean_keep_list",
+    _corpus_keep_q,
+    f"""
+    SELECT g.doc_id FROM ({ORACLES['gopher_quality_filter']}) g
+    WHERE g.keep
+      AND g.doc_id NOT IN (
+        SELECT d.doc_id FROM documents d
+        JOIN (SELECT md5(text) AS h, min(doc_id) AS keeper
+              FROM documents GROUP BY md5(text) HAVING count(*) > 1) e
+          ON md5(d.text) = e.h
+        WHERE d.doc_id <> e.keeper)
+      AND g.doc_id NOT IN (
+        SELECT node FROM ({ORACLES['dedup_minhash_clusters']}) c
+        WHERE c.node <> c.cluster_id)
+    """,
+)
