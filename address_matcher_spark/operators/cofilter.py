@@ -35,31 +35,45 @@ def postcode_area(col: Column) -> Column:
     return x.substr(F.lit(1), F.greatest(F.length(x) - 2, F.lit(0)))
 
 
+def joined_address_length(search: DataFrame, address_cols) -> Column:
+    """The reference's ``address_cols_joined`` length check
+    (tools/matcher_funcs.py:561-565): fillna('') each address column,
+    concatenate WITHOUT separator, strip, measure."""
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("")) for c in address_cols]
+    return F.length(F.trim(F.concat(*parts)))
+
+
 def label_area_exclusions(
     search: DataFrame,
     ref: DataFrame,
     search_pc: str = "postcode",
     ref_pc: str = "Postcode",
+    address_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """F3 labeling half: append EXCLUSION_COL to the search side —
     'Postcode area not found' when the row's area is absent from the
     reference's area set (areas shorter than 4 chars don't count as ref
-    evidence, tools/matcher_funcs.py:574)."""
+    evidence, tools/matcher_funcs.py:574).  When address_cols is given,
+    zero-length joined addresses are labeled 'Address length 0', which is
+    applied AFTER the area label in the reference and therefore takes
+    precedence (tools/matcher_funcs.py:578-580)."""
     areas = (
         ref.select(postcode_area(F.col(ref_pc)).alias("__area"))
         .filter(F.length("__area") > 3)
         .distinct()
         .withColumn("__found", F.lit(True))
     )
+    label = F.when(F.col("__found").isNotNull(), F.lit(INCLUDED)).otherwise(
+        F.lit(EXCL_AREA)
+    )
+    if address_cols:
+        label = F.when(
+            joined_address_length(search, address_cols) == 0, F.lit(EXCL_LEN0)
+        ).otherwise(label)
     out = (
         search.withColumn("__area", postcode_area(F.col(search_pc)))
         .join(F.broadcast(areas), "__area", "left")
-        .withColumn(
-            EXCLUSION_COL,
-            F.when(F.col("__found").isNotNull(), F.lit(INCLUDED)).otherwise(
-                F.lit(EXCL_AREA)
-            ),
-        )
+        .withColumn(EXCLUSION_COL, label)
         .drop("__area", "__found")
     )
     return out
@@ -70,13 +84,15 @@ def area_cofilter(
     ref: DataFrame,
     search_pc: str = "postcode",
     ref_pc: str = "Postcode",
+    address_cols: tuple[str, ...] | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """F3 both directions (tools/matcher_funcs.py:567-606): returns
     (search_kept, ref_kept, search_labeled).  search rows keep only areas
-    present in the reference; the reference then keeps only areas present
-    in the SURVIVING search rows.  Both semi-joins broadcast a bounded
+    present in the reference AND (when address_cols is given) non-empty
+    joined addresses; the reference then keeps only areas present in the
+    SURVIVING search rows.  Both semi-joins broadcast a bounded
     distinct-area set — no shuffle of either fact table."""
-    labeled = label_area_exclusions(search, ref, search_pc, ref_pc)
+    labeled = label_area_exclusions(search, ref, search_pc, ref_pc, address_cols)
     kept = labeled.filter(F.col(EXCLUSION_COL) == INCLUDED).drop(EXCLUSION_COL)
     search_areas = (
         kept.select(postcode_area(F.col(search_pc)).alias("__area")).distinct()

@@ -236,7 +236,12 @@ def decode_media(payload: bytes) -> tuple[str, int, int, bool, np.ndarray]:
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             s, rate, channels = _decode_wav(payload)
             return ("audio/wav", len(s), channels, True, _audio_feature(s))
-    except NotImplementedError:
+    except Exception:
+        # A crawled corpus always contains payloads with valid magic bytes
+        # but corrupt bodies (truncated IDAT, bad struct offsets, zlib
+        # garbage).  One bad blob must not fail the Spark stage: anything
+        # the decoders reject falls back to the deterministic stub with
+        # decoded=false, which downstream filters can drop.
         pass
     w, hh, f = _decode_stub(payload)
     return ("application/octet-stream", w, hh, False, f)

@@ -979,16 +979,24 @@ def _area_sql(col: str) -> str:
 def _area_cofilter_q(spark, sf):
     """F3: postcode-AREA co-filter labels (tools/matcher_funcs.py:567-606).
     A deterministic 1-in-7 slice of search rows gets an out-of-reference
-    postcode so both label branches are exercised."""
+    postcode and a 1-in-11 slice gets a blank address, exercising all three
+    label branches including the length-0 precedence over the area label."""
     register_views(spark, sf)
     s = spark.table("er_search").withColumn(
         "postcode",
         F.when(F.col("record_id") % 7 == 0, F.lit("ZZ99 9ZZ")).otherwise(
             F.col("postcode")
         ),
+    ).withColumn(
+        "body",
+        F.when(F.col("record_id") % 11 == 0, F.lit("  ")).otherwise(
+            F.col("body")
+        ),
     )
     r = spark.table("er_ref")
-    labeled = cofilter.label_area_exclusions(s, r, "postcode", "postcode")
+    labeled = cofilter.label_area_exclusions(
+        s, r, "postcode", "postcode", address_cols=("body",)
+    )
     return labeled.select("record_id", cofilter.EXCLUSION_COL)
 
 
@@ -997,7 +1005,8 @@ _register(
     _area_cofilter_q,
     _with_er(f"""
     SELECT record_id,
-           CASE WHEN area IN (
+           CASE WHEN record_id % 11 = 0 THEN 'Address length 0'
+                WHEN area IN (
                   SELECT {_area_sql('postcode')} FROM er_ref
                   WHERE length({_area_sql('postcode')}) > 3)
                 THEN 'Included in search'

@@ -157,7 +157,8 @@ def prepare_sides(
     rows (the semi-joins sit below the regex layer in the plan)."""
     if cfg.area_cofilter:
         search_raw, ref_raw, _ = cofilter.area_cofilter(
-            search_raw, ref_raw, cfg.postcode_col, "Postcode"
+            search_raw, ref_raw, cfg.postcode_col, "Postcode",
+            address_cols=cfg.address_cols,
         )
     if prior_results is not None:
         search_raw, _ = cofilter.exclude_previously_matched(
@@ -202,6 +203,20 @@ def standardise_reference(df: DataFrame, standardise_flag: bool) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def scoring_npart(spark, residue_rows: int | None = None) -> int:
+    """Partition count for the cogrouped scoring stage.  8× over-
+    decomposition evens salt-group imbalance on a full corpus, but a flat
+    dp*8 is pure scheduling overhead for the small residues of later
+    waterfall passes — so when the caller knows the residue size, scale
+    down: ~1 salt group per 64 search rows (bench corpus measures ~2.9k
+    candidate pairs per search row at 250k target pairs/group), clamped to
+    [dp, dp*8]."""
+    dp = spark.sparkContext.defaultParallelism
+    if residue_rows is None:
+        return dp * 8
+    return max(dp, min(dp * 8, residue_rows // 64))
+
+
 def fuzzy_pass(
     search_std: DataFrame,
     ref_std: DataFrame,
@@ -209,6 +224,7 @@ def fuzzy_pass(
     cfg: MatchConfig,
     pass_name: str,
     broadcast_ref: bool | None = None,
+    residue_rows: int | None = None,
 ) -> DataFrame:
     """J1/J2 + P1 + J6 + D1-D7 + P2 + W1: block-join candidates, score with
     the vectorized token_set_ratio UDF, shortlist to per-record max, verify,
@@ -246,8 +262,9 @@ def fuzzy_pass(
     # 8× over-decomposition: salt groups have uneven pair counts, so many
     # small partitions let the scheduler balance dynamically — the
     # straggler tail of the last wave shrinks with partition size
-    # (measured ~5-8% on the skewed bench corpus vs 2×).
-    npart = s.sparkSession.sparkContext.defaultParallelism * 8
+    # (measured ~5-8% on the skewed bench corpus vs 2×).  Residue-scaled
+    # when the caller knows how much is left to match (scoring_npart).
+    npart = scoring_npart(s.sparkSession, residue_rows)
     keys = ["__bk", *extra]
     s_salted = s_salted.repartition(npart, *[F.col(k) for k in keys])
     r_salted = r_salted.repartition(npart, *[F.col(k) for k in keys])
@@ -375,42 +392,44 @@ def run_waterfall(
         return out
 
     plan = [
-        ("fuzzy_min_pc", lambda s: fuzzy_pass(s, ref_min, "Postcode", cfg, "fuzzy_min_pc", bc_ref), search_min),
-        ("fuzzy_min_st", lambda s: fuzzy_pass(s, ref_min, "Street", cfg, "fuzzy_min_st", bc_ref), search_min),
-        ("fuzzy_full_pc", lambda s: fuzzy_pass(s, ref_full, "Postcode", cfg, "fuzzy_full_pc", bc_ref), search_full),
-        ("fuzzy_full_st", lambda s: fuzzy_pass(s, ref_full, "Street", cfg, "fuzzy_full_st", bc_ref), search_full),
+        ("fuzzy_min_pc", lambda s, n: fuzzy_pass(s, ref_min, "Postcode", cfg, "fuzzy_min_pc", bc_ref, n), search_min),
+        ("fuzzy_min_st", lambda s, n: fuzzy_pass(s, ref_min, "Street", cfg, "fuzzy_min_st", bc_ref, n), search_min),
+        ("fuzzy_full_pc", lambda s, n: fuzzy_pass(s, ref_full, "Postcode", cfg, "fuzzy_full_pc", bc_ref, n), search_full),
+        ("fuzzy_full_st", lambda s, n: fuzzy_pass(s, ref_full, "Street", cfg, "fuzzy_full_st", bc_ref, n), search_full),
     ]
     if cfg.run_field_passes:
         plan += [
-            ("field_min_pc", lambda s: field_pass(s, ref_min, "Postcode", cfg, "field_min_pc"), search_min),
-            ("field_full_pc", lambda s: field_pass(s, ref_full, "Postcode", cfg, "field_full_pc"), search_full),
+            ("field_min_pc", lambda s, n: field_pass(s, ref_min, "Postcode", cfg, "field_min_pc"), search_min),
+            ("field_full_pc", lambda s, n: field_pass(s, ref_full, "Postcode", cfg, "field_full_pc"), search_full),
         ]
 
     # early-exit gate (X2, ref tools/matcher_funcs.py:1013-1017): the
-    # reference aborts the waterfall when nothing is left to match.  Both
-    # counts are on checkpointed data, so each gate costs one cheap scan —
-    # and skipping a pass saves a full block-score job.
+    # reference aborts the waterfall when nothing is left to match.
+    # Winners are DISJOINT across passes by construction — each pass only
+    # attempts the previous passes' residue — so the matched total is a
+    # running integer sum over the already-checkpointed pass outputs: no
+    # distinct, no extra per-pass checkpoint job, one cheap count scan.
+    # (Round 2 unioned+distinct+checkpointed a matched_ids frame per pass;
+    # that bookkeeping alone cost ~3 driver-blocking jobs × 6 passes and
+    # showed up as the r1→r2 er_waterfall bench regression.)
     total_records = search_min.count()
-    matched_ids: DataFrame | None = None
+    matched_union: DataFrame | None = None
     matched_count = 0
     for name, fn, side in plan:
         if passes and matched_count >= total_records:
             break  # every search record already has a full match
         # (pass 1 always runs so an empty input still yields a result
         # frame with the full schema)
-        residue = side if matched_ids is None else side.join(
-            matched_ids, "record_id", "left_anti"
+        residue_rows = total_records - matched_count
+        residue = side if matched_union is None else side.join(
+            matched_union, "record_id", "left_anti"
         )
-        out = run_pass(lambda s=residue: fn(s), name)
+        out = run_pass(lambda s=residue, n=residue_rows: fn(s, n), name)
         winners = out.filter(F.col("full_match")).select("record_id")
-        matched_ids = winners if matched_ids is None else (
-            matched_ids.unionByName(winners).distinct()
+        matched_count += winners.count()
+        matched_union = winners if matched_union is None else (
+            matched_union.unionByName(winners)
         )
-        if store is not None:
-            matched_ids = store.write(matched_ids, f"matched_ids_{name}")
-        else:
-            matched_ids = matched_ids.localCheckpoint()
-        matched_count = matched_ids.count()
 
     return select.combine_passes(passes, key="record_id")
 

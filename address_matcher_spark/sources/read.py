@@ -18,20 +18,45 @@ def detect_file_type(filename: str) -> str:
     low = filename.lower().rstrip("/")
     if low.endswith(".parquet") or low.endswith(".pq"):
         return "parquet"
-    if low.endswith((".csv", ".csv.gz", ".csv.zip", ".csv.bz2")):
+    if low.endswith(".csv.zip"):
+        return "csv_zip"
+    if low.endswith((".csv", ".csv.gz", ".csv.bz2")):
         return "csv"
     if low.endswith(".xlsx"):
         return "xlsx"
     raise ValueError(f"file type not recognised: {filename}")
 
 
+def _unzip_csv(path: str) -> str:
+    """Spark/Hadoop has no zip codec (gz/bz2 only), so a .csv.zip handed
+    straight to spark.read.csv would parse the ARCHIVE bytes as text —
+    silent garbage.  The reference reads zip via pandas' zipfile support
+    (matcher_funcs.py:60-63); here the archive is extracted driver-side
+    (stdlib zipfile, local paths only — zip is non-splittable regardless,
+    so it is inherently a small-upload format, never a 100 TB input) and
+    the inner csv is what Spark scans."""
+    import tempfile
+    import zipfile
+
+    tmp = tempfile.mkdtemp(prefix="amspark_zip_")
+    with zipfile.ZipFile(path) as zf:
+        inner = [n for n in zf.namelist() if n.lower().endswith(".csv")]
+        if not inner:
+            raise ValueError(f"no .csv member inside zip archive: {path}")
+        return zf.extract(inner[0], tmp)
+
+
 def read_file(spark: SparkSession, path: str,
               infer_schema: bool = True) -> DataFrame:
     """S1: one reader for every supported input.  CSV compression
-    (gz/bz2) is transparent to Spark's csv source."""
+    (gz/bz2) is transparent to Spark's csv source; zip is extracted
+    driver-side first (see _unzip_csv)."""
     kind = detect_file_type(path)
     if kind == "parquet":
         return spark.read.parquet(path)
+    if kind == "csv_zip":
+        path = _unzip_csv(path)
+        kind = "csv"
     if kind == "csv":
         return spark.read.csv(path, header=True, inferSchema=infer_schema)
     raise NotImplementedError(

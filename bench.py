@@ -44,9 +44,15 @@ def _er_scale(sf_dir: str):
 
 
 def _bench_corpus(n_search: int, n_ref: int) -> str:
+    import hashlib
+
     from address_matcher_spark import datagen
 
-    cache = f"/tmp/amspark_bench_{n_search}_{n_ref}"
+    # cache key includes a datagen content hash so edits to the generator
+    # invalidate stale fixtures instead of silently reusing them
+    with open(datagen.__file__, "rb") as fh:
+        gen_hash = hashlib.sha256(fh.read()).hexdigest()[:10]
+    cache = f"/tmp/amspark_bench_{n_search}_{n_ref}_{gen_hash}"
     marker = os.path.join(cache, "_done")
     if not os.path.exists(marker):
         datagen.write_fixtures(

@@ -49,6 +49,27 @@ def test_area_cofilter_both_directions(search_df, ref_df):
     assert {r["ref_id"] for r in ref_kept.collect()} == {10, 11}
 
 
+def test_area_cofilter_len0_precedence(spark, ref_df):
+    """'Address length 0' is applied AFTER the area label in the reference
+    (matcher_funcs.py:578-580), so it overrides it, and length-0 rows are
+    dropped from the kept side even when their area exists in the ref."""
+    s = spark.createDataFrame(
+        [dict(record_id=1, address_line1="12 oak road", address_line2="",
+              town="LONDON", postcode="SW9 7QD"),
+         dict(record_id=2, address_line1="  ", address_line2=None,
+              town="", postcode="SW9 7QD"),    # blank addr, area IS in ref
+         dict(record_id=3, address_line1=" ", address_line2="",
+              town=None, postcode="LS1 4AB")]  # blank addr AND bad area
+    )
+    cols = ("address_line1", "address_line2", "town")
+    kept, _, labeled = C.area_cofilter(s, ref_df, address_cols=cols)
+    labels = {r["record_id"]: r[C.EXCLUSION_COL] for r in labeled.collect()}
+    assert labels[1] == C.INCLUDED
+    assert labels[2] == C.EXCL_LEN0
+    assert labels[3] == C.EXCL_LEN0  # len-0 takes precedence over area
+    assert {r["record_id"] for r in kept.collect()} == {1}
+
+
 def test_prior_exclusion_and_incremental_rerun(spark, search_df, ref_df):
     """F4/J11 done-criterion: a second run attempts ONLY the residue."""
     prior = spark.createDataFrame(
@@ -181,6 +202,27 @@ def test_read_file_csv_gz_and_parquet(spark, tmp_path):
         R.detect_file_type("notes.txt")
     with pytest.raises(NotImplementedError):
         R.read_file(spark, "book.xlsx")
+
+
+def test_read_file_csv_zip(spark, tmp_path):
+    """Spark has no zip codec — the archive must be extracted driver-side,
+    not parsed as CSV text (which silently yields garbage rows)."""
+    import zipfile
+
+    from address_matcher_spark.sources import read as R
+
+    csv_zip = str(tmp_path / "t.csv.zip")
+    with zipfile.ZipFile(csv_zip, "w") as zf:
+        zf.writestr("t.csv", "id,v\n1,a\n2,b\n")
+    got = R.read_file(spark, csv_zip)
+    rows = {r["id"]: r["v"] for r in got.collect()}
+    assert rows == {1: "a", 2: "b"} and set(got.columns) == {"id", "v"}
+
+    bad = str(tmp_path / "empty.csv.zip")
+    with zipfile.ZipFile(bad, "w") as zf:
+        zf.writestr("readme.txt", "no csv here")
+    with pytest.raises(ValueError):
+        R.read_file(spark, bad)
 
 
 def test_waterfall_empty_search_side(spark, ref_df):

@@ -193,6 +193,19 @@ def test_multimodal_real_decoders():
     assert ok is False and mt == "application/octet-stream"
 
 
+def test_decode_media_corrupt_payloads_fall_back():
+    """Valid magic bytes + corrupt body (the crawled-corpus norm) must NOT
+    raise out of the UDF — they fall back to the stub with decoded=false."""
+    corrupt = [
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 40,          # PNG, garbage chunks
+        b"BM" + b"\x01" * 20,                          # BMP, truncated header
+        b"RIFF" + b"\x00" * 4 + b"WAVE" + b"\x07" * 8, # WAV, bad fmt chunk
+    ]
+    for payload in corrupt:
+        mt, w, h, ok, feat = multimodal.decode_media(payload)
+        assert ok is False and mt == "application/octet-stream"
+
+
 def test_png_unfilter_paeth_roundtrip():
     """Non-zero PNG filters decode correctly: encode rows with sub/up/
     average/paeth filters and recover the original pixels."""
