@@ -110,6 +110,17 @@ def run_block_score(spark, sides, cfg) -> tuple[int, float]:
     return n, time.perf_counter() - t0
 
 
+def run_field_pass(spark, sides, cfg) -> tuple[int, float]:
+    """The field-wise pass (cogrouped Arrow field scorer) on the same
+    corpus — tracks the O(rows)-transfer claim from round 3."""
+    from address_matcher_spark.operators.fieldmatch import field_pass
+
+    t0 = time.perf_counter()
+    out = field_pass(sides["smin"], sides["rmin"], "Postcode", cfg, "bench")
+    n = out.count()
+    return n, time.perf_counter() - t0
+
+
 def run_er_waterfall(spark, sides, cfg) -> tuple[int, float]:
     from pyspark.sql import functions as F
 
@@ -161,10 +172,12 @@ def main() -> None:
     sides = _sides(spark, corpus, cfg)
     pairs = count_candidate_pairs(sides)
     shortlisted, t_score = run_block_score(spark, sides, cfg)
+    _, t_field = run_field_pass(spark, sides, cfg)
     matched, t_wf = run_er_waterfall(spark, sides, cfg)
 
     queries: dict[str, float] = {
         "er_block_score": round(t_score, 3),
+        "er_field_pass": round(t_field, 3),
         "er_waterfall": round(t_wf, 3),
     }
     for name in OPERATOR_QUERIES:
