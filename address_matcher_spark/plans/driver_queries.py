@@ -820,6 +820,146 @@ _register(
     """,
 )
 
+def _pipeline_decisions_q(spark, sf):
+    """D1-D7 + W1/W2 over a DETERMINISTIC pre-scored pair table: the score
+    is SQL-expressible (100 ⇔ standardised-string equality, else a seeded
+    71-90 value), so the waterfall's decision/selection/combine composition
+    — the REAL verify.add_decisions / select.keep_max_score / best_match /
+    combine_passes operators — gets a full rows+schema+hash oracle.  Only
+    the fuzzy kernel itself stays rows-only.  A 1-in-13 slice is made
+    digit-free to exercise D2 (limit raised to 100) and D3 (street pass
+    never matches digit-free).  Ref semantics tools/fuzzy_match.py:233-318,
+    tools/matcher_funcs.py:1489-1523."""
+    register_views(spark, sf)
+    from address_matcher_spark.operators import select as sel
+    from address_matcher_spark.operators import verify
+
+    smod = F.when(
+        F.col("record_id") % 13 == 0,
+        F.regexp_replace(F.lower(F.col("body")), "[0-9]", ""),
+    ).otherwise(F.lower(F.col("body")))
+    s2 = spark.table("er_search").select(
+        "record_id", "variant",
+        smod.alias("search_mod_address"),
+        F.col("postcode"),
+        F.col("postcode").alias("__bk"),
+        F.regexp_extract(smod, r"^(\d+)", 1).alias("property_number_search"),
+    )
+    r2 = spark.table("er_ref").select(
+        "ref_id",
+        F.lower(F.col("body")).alias("reference_mod_address"),
+        F.col("postcode").alias("postcode_ref"),
+        F.col("postcode").alias("__bk"),
+        F.col("pao_number").alias("property_number_reference"),
+    )
+    pairs = s2.join(r2, "__bk").drop("__bk")
+    score = F.when(
+        F.col("search_mod_address") == F.col("reference_mod_address"),
+        F.lit(100.0),
+    ).otherwise(
+        F.round(F.lit(90.0) - (F.col("record_id") + F.col("ref_id")) % 20, 1)
+    )
+    pairs = pairs.withColumn("fuzzy_score", score)
+    for f in verify.FIELDS:
+        if f == "property_number":
+            continue
+        pairs = pairs.withColumn(f"{f}_search", F.lit(None).cast("string"))
+        pairs = pairs.withColumn(f"{f}_reference", F.lit(None).cast("string"))
+
+    def one_pass(pdf, blocker, method):
+        out = sel.keep_max_score(pdf, "record_id")
+        out = verify.add_decisions(out, blocker)
+        out = out.withColumn("wratio_score", F.lit(None).cast("double"))
+        out = sel.best_match(out, "record_id")
+        return out.withColumn("match_method", F.lit(method))
+
+    p1 = one_pass(pairs.filter(F.col("variant") <= 1), "Postcode", "pc")
+    p2 = one_pass(pairs, "Street", "st")
+    combined = sel.combine_passes([p1, p2], key="record_id")
+    return combined.select(
+        "record_id", "ref_id", "fuzzy_score", "fuzzy_score_match",
+        "full_number_match", "close_postcode_match", "full_match",
+        "match_method",
+    )
+
+
+_PIPELINE_DECISIONS_SQL = _with_er(r"""
+    , pairs AS (
+      SELECT s.record_id, r.ref_id, s.variant,
+             CASE WHEN s.record_id % 13 = 0
+                  THEN regexp_replace(lower(s.body), '[0-9]', '', 'g')
+                  ELSE lower(s.body) END AS smod,
+             lower(r.body) AS rmod,
+             s.postcode AS pc_s, r.postcode AS pc_r,
+             regexp_extract(CASE WHEN s.record_id % 13 = 0
+                  THEN regexp_replace(lower(s.body), '[0-9]', '', 'g')
+                  ELSE lower(s.body) END, '^(\d+)', 1) AS pn_s,
+             r.pao_number AS pn_r
+      FROM er_search s JOIN er_ref r ON s.postcode = r.postcode),
+    scored AS (
+      SELECT *, CASE WHEN smod = rmod THEN 100.0
+                     ELSE round(90.0 - (record_id + ref_id) % 20, 1)
+                END AS fuzzy_score
+      FROM pairs),
+    dec AS (
+      SELECT record_id, ref_id, variant, fuzzy_score,
+             length(regexp_replace(smod, '[^0-9]', '', 'g')) = 0 AS no_num,
+             (coalesce(pn_s, '') = coalesce(pn_r, '')) AS full_number_match,
+             (substr(replace(lower(pc_s), ' ', ''), 1,
+                     greatest(length(replace(lower(pc_s), ' ', '')) - 2, 0)) =
+              substr(replace(lower(pc_r), ' ', ''), 1,
+                     greatest(length(replace(lower(pc_r), ' ', '')) - 2, 0)))
+               AS close_postcode_match
+      FROM scored),
+    p1 AS (
+      SELECT *,
+             CASE WHEN no_num THEN fuzzy_score >= 100.0
+                  ELSE fuzzy_score >= 85.0 END AS fuzzy_score_match
+      FROM dec WHERE variant <= 1
+      QUALIFY fuzzy_score = max(fuzzy_score) OVER (PARTITION BY record_id)),
+    best1 AS (
+      SELECT record_id, ref_id, fuzzy_score, fuzzy_score_match,
+             full_number_match, close_postcode_match,
+             (fuzzy_score_match AND full_number_match
+              AND close_postcode_match) AS full_match,
+             'pc' AS match_method
+      FROM p1
+      QUALIFY row_number() OVER (PARTITION BY record_id ORDER BY
+          (fuzzy_score_match AND full_number_match AND close_postcode_match)
+            DESC,
+          full_number_match DESC, fuzzy_score DESC, ref_id) = 1),
+    p2 AS (
+      SELECT *,
+             CASE WHEN no_num THEN FALSE
+                  ELSE fuzzy_score >= 85.0 END AS fuzzy_score_match
+      FROM dec
+      QUALIFY fuzzy_score = max(fuzzy_score) OVER (PARTITION BY record_id)),
+    best2 AS (
+      SELECT record_id, ref_id, fuzzy_score, fuzzy_score_match,
+             full_number_match, close_postcode_match,
+             (fuzzy_score_match AND full_number_match
+              AND close_postcode_match) AS full_match,
+             'st' AS match_method
+      FROM p2
+      QUALIFY row_number() OVER (PARTITION BY record_id ORDER BY
+          (fuzzy_score_match AND full_number_match AND close_postcode_match)
+            DESC,
+          full_number_match DESC, fuzzy_score DESC, ref_id) = 1),
+    un AS (
+      SELECT *, 0 AS pass_priority FROM best1
+      UNION ALL
+      SELECT *, 1 AS pass_priority FROM best2)
+    SELECT record_id, ref_id, fuzzy_score, fuzzy_score_match,
+           full_number_match, close_postcode_match, full_match, match_method
+    FROM un
+    QUALIFY row_number() OVER (PARTITION BY record_id
+        ORDER BY full_match DESC, pass_priority) = 1
+    """)
+
+_register("er_pipeline_decisions", _pipeline_decisions_q,
+          _PIPELINE_DECISIONS_SQL)
+
+
 # ---------- D. rows-only entries (not SQL-expressible) ---------------------
 
 
