@@ -298,6 +298,23 @@ def tsr_presplit(ta: frozenset, tb: frozenset, chars_a: int, chars_b: int,
 
 _POPCNT8 = np.array([bin(x).count("1") for x in range(256)], dtype=np.uint8)
 
+# Per-process scratch arena: the batch kernels run thousands of times per
+# Spark task, and numpy temporaries over ~MB arrays hit glibc's mmap path
+# every call — at 32 concurrent workers the page-fault/TLB churn is a real
+# scaling tax.  Buffers are grow-only, keyed by (slot, dtype), reused
+# across calls; slots are named so two live uses never alias.
+_SCRATCH: dict[tuple[str, str], np.ndarray] = {}
+
+
+def _scratch(slot: str, n: int, dtype) -> np.ndarray:
+    key = (slot, np.dtype(dtype).str)
+    buf = _SCRATCH.get(key)
+    if buf is None or buf.size < n:
+        cap = 1 << max(10, int(n - 1).bit_length())
+        buf = np.empty(cap, dtype=dtype)
+        _SCRATCH[key] = buf
+    return buf[:n]
+
 
 def _char_count_rows(strs: list[str]) -> tuple[np.ndarray, np.ndarray]:
     """Per-row ascii char histograms [n, 128] + validity mask (non-ascii
@@ -315,47 +332,37 @@ def _char_count_rows(strs: list[str]) -> tuple[np.ndarray, np.ndarray]:
     return out, valid
 
 
-def _lcs_batch(a_strs: list[str], b_strs: list[str]) -> np.ndarray:
-    """LCS lengths for aligned string pairs, vectorized.
-
-    Hyyrö's bit-parallel LCS state is one machine word per pair when the
-    left string fits 63 bits, so the whole batch advances in lockstep as
-    numpy uint64 arrays: per character position, one fancy-indexed mask
-    gather + four elementwise ops over every still-active pair.  Pairs are
-    sorted by right-string length so the active set is always a prefix.
-    Left strings over 63 chars (or non-latin-1 text) fall back to the
-    scalar bigint kernel."""
-    n = len(a_strs)
-    out = np.zeros(n, dtype=np.float64)
+def _lcs_lane(
+    entries: list[tuple[int, str]],
+    b_strs: list[str],
+    dtype,
+    lane: str,
+    out: np.ndarray,
+) -> None:
+    """One bit-width lane of the vectorized LCS (see _lcs_batch): all left
+    strings in `entries` fit the lane's word size.  The inner loop is
+    allocation-free (named scratch buffers, in-place ufuncs) and reads the
+    per-position codes from a TRANSPOSED (maxlen, n_pairs) layout so each
+    step streams one contiguous row instead of a strided column — at 32
+    concurrent workers the strided gather was pure cache-line waste."""
     groups: dict[str, int] = {}
     ks: list[int] = []
     bids: list[int] = []
-    scalar: list[int] = []
-    for k, a in enumerate(a_strs):
-        la = len(a)
-        if la == 0 or len(b_strs[k]) == 0:
-            continue  # lcs = 0
-        if la > 63 or not a.isascii() or not b_strs[k].isascii():
-            scalar.append(k)
-            continue
+    for k, a in entries:
         bid = groups.setdefault(a, len(groups))
         ks.append(k)
         bids.append(bid)
-    for k in scalar:
-        out[k] = _lcs_len(a_strs[k], b_strs[k])
-    if not ks:
-        return out
     uniq_a = list(groups)
-    tables = np.zeros((len(uniq_a), 256), dtype=np.uint64)
-    masks_a = np.zeros(len(uniq_a), dtype=np.uint64)
+    tables = np.zeros((len(uniq_a), 256), dtype=dtype)
+    masks_a = np.zeros(len(uniq_a), dtype=dtype)
     for bi, a in enumerate(uniq_a):
-        row = tables[bi]
         acc = [0] * 256
         for pos, ch in enumerate(a):
             acc[ord(ch)] |= 1 << pos
         nz = [c for c in range(256) if acc[c]]
-        row[nz] = [acc[c] for c in nz]
-        masks_a[bi] = (1 << len(a)) - 1
+        tables[bi, nz] = [acc[c] for c in nz]
+        masks_a[bi] = dtype((1 << len(a)) - 1)
+    n = len(ks)
     ks_arr = np.array(ks, dtype=np.int64)
     bid_arr = np.array(bids, dtype=np.int64)
     lbs = np.array([len(b_strs[k]) for k in ks], dtype=np.int64)
@@ -365,7 +372,7 @@ def _lcs_batch(a_strs: list[str], b_strs: list[str]) -> np.ndarray:
     # encode each DISTINCT right string once (disjoint-token pairs reuse
     # the same full join across many left rows), then row-gather
     b_groups: dict[str, int] = {}
-    b_ids = np.empty(len(ks_arr), dtype=np.int64)
+    b_ids = np.empty(n, dtype=np.int64)
     for row_idx, k in enumerate(ks_arr):
         b_ids[row_idx] = b_groups.setdefault(b_strs[int(k)], len(b_groups))
     codes_u = np.zeros((len(b_groups), maxlen), dtype=np.uint8)
@@ -373,21 +380,64 @@ def _lcs_batch(a_strs: list[str], b_strs: list[str]) -> np.ndarray:
         codes_u[ub, : len(b)] = np.frombuffer(
             b.encode("latin-1"), dtype=np.uint8
         )
-    codes = codes_u[b_ids]
-    masks = masks_a[bid_arr]
-    st = masks.copy()
+    codes_t = np.ascontiguousarray(codes_u[b_ids].T)  # (maxlen, n)
+    flat_tables = tables.reshape(-1)
+    base = bid_arr * 256
+    masks = np.take(masks_a, bid_arr)
+    st = _scratch(f"lcs_st_{lane}", n, dtype)
+    np.copyto(st, masks)
+    m = _scratch(f"lcs_m_{lane}", n, dtype)
+    u = _scratch(f"lcs_u_{lane}", n, dtype)
+    t1 = _scratch(f"lcs_t1_{lane}", n, dtype)
+    t2 = _scratch(f"lcs_t2_{lane}", n, dtype)
+    idx = _scratch(f"lcs_idx_{lane}", n, np.int64)
     neg_lbs = -lbs  # ascending; active pairs (lb > pos) form a prefix
     for pos in range(maxlen):
         n_act = int(np.searchsorted(neg_lbs, -pos, side="left"))
         if n_act == 0:
             break
         sl = slice(0, n_act)
-        m = tables[bid_arr[sl], codes[sl, pos]]
-        u = st[sl] & m
-        st[sl] = ((st[sl] + u) | (st[sl] - u)) & masks[sl]
-    la_vec = np.array([len(a_strs[int(k)]) for k in ks_arr], dtype=np.float64)
-    pc = _POPCNT8[st.view(np.uint8).reshape(-1, 8)].sum(axis=1)
+        np.add(base[sl], codes_t[pos, sl], out=idx[sl])
+        np.take(flat_tables, idx[sl], out=m[sl])
+        np.bitwise_and(st[sl], m[sl], out=u[sl])
+        np.add(st[sl], u[sl], out=t1[sl])
+        np.subtract(st[sl], u[sl], out=t2[sl])
+        np.bitwise_or(t1[sl], t2[sl], out=t1[sl])
+        np.bitwise_and(t1[sl], masks[sl], out=st[sl])
+    la_vec = np.array([len(uniq_a[b]) for b in bid_arr], dtype=np.float64)
+    pc = _POPCNT8[st.view(np.uint8).reshape(n, -1)].sum(axis=1)
     out[ks_arr] = la_vec - pc
+
+
+def _lcs_batch(a_strs: list[str], b_strs: list[str]) -> np.ndarray:
+    """LCS lengths for aligned string pairs, vectorized.
+
+    Hyyrö's bit-parallel LCS state is one machine word per pair, so the
+    whole batch advances in lockstep as numpy arrays: per character
+    position, one contiguous flat-table gather + five in-place elementwise
+    ops over every still-active pair.  Pairs are sorted by right-string
+    length so the active set is always a prefix.  Two lanes by left
+    length: uint32 (≤31 chars — the common case for address diff strings,
+    half the state/mask/match traffic) and uint64 (≤63).  Longer or
+    non-ascii left strings fall back to the scalar bigint kernel.
+    (st + u) cannot wrap: st < 2^(la) ≤ 2^31 (resp. 2^63) and u ≤ st, so
+    the carry stays inside the lane word; bits above la are masked off."""
+    n = len(a_strs)
+    out = np.zeros(n, dtype=np.float64)
+    lane32: list[tuple[int, str]] = []
+    lane64: list[tuple[int, str]] = []
+    for k, a in enumerate(a_strs):
+        la = len(a)
+        if la == 0 or len(b_strs[k]) == 0:
+            continue  # lcs = 0
+        if la > 63 or not a.isascii() or not b_strs[k].isascii():
+            out[k] = _lcs_len(a, b_strs[k])
+            continue
+        (lane32 if la <= 31 else lane64).append((k, a))
+    if lane32:
+        _lcs_lane(lane32, b_strs, np.uint32, "32", out)
+    if lane64:
+        _lcs_lane(lane64, b_strs, np.uint64, "64", out)
     return out
 
 
@@ -430,8 +480,21 @@ def cross_token_set_scores(
         for t in toks:
             rrows.setdefault(t, []).append(j)
 
-    C = np.zeros((nl, nr), dtype=np.float64)   # |A ∩ B|
-    CH = np.zeros((nl, nr), dtype=np.float64)  # Σ|t| over A ∩ B
+    # All (nl, nr) float64 work matrices live in the per-process scratch
+    # arena (named slots) and every elementwise step writes in place —
+    # the expression form allocated ~15 multi-MB temporaries per call,
+    # which at 32 concurrent workers turned into allocator/page-fault
+    # contention.  Operation ORDER matches the original expressions so
+    # results stay bit-identical (parity tests pin this).
+    size = nl * nr
+
+    def mat(slot: str) -> np.ndarray:
+        return _scratch(f"cts_{slot}", size, np.float64).reshape(nl, nr)
+
+    C = mat("C")    # |A ∩ B|
+    C.fill(0.0)
+    CH = mat("CH")  # Σ|t| over A ∩ B
+    CH.fill(0.0)
     for t, li in lrows.items():
         rj = rrows.get(t)
         if rj is None:
@@ -440,28 +503,60 @@ def cross_token_set_scores(
         C[ix] += 1.0
         CH[ix] += float(len(t))
 
-    n_ab = na[:, None] - C
-    n_ba = nb[None, :] - C
+    n_ab = mat("nab")
+    np.subtract(na[:, None], C, out=n_ab)
+    n_ba = mat("nba")
+    np.subtract(nb[None, :], C, out=n_ba)
     has_sect = C > 0
-    sect_len = np.where(has_sect, CH + C - 1.0, 0.0)
-    ab_len = np.where(n_ab > 0, (chars_a[:, None] - CH) + n_ab - 1.0, 0.0)
-    ba_len = np.where(n_ba > 0, (chars_b[None, :] - CH) + n_ba - 1.0, 0.0)
-    one = (sect_len > 0).astype(np.float64)
+    sect_len = mat("sect")          # where(has_sect, (CH + C) - 1.0, 0.0)
+    np.add(CH, C, out=sect_len)
+    sect_len -= 1.0
+    sect_len[~has_sect] = 0.0
+    ab_len = mat("ab")              # where(n_ab>0, ((chars_a-CH)+n_ab)-1, 0)
+    np.subtract(chars_a[:, None], CH, out=ab_len)
+    ab_len += n_ab
+    ab_len -= 1.0
+    ab_len[n_ab <= 0] = 0.0
+    ba_len = mat("ba")
+    np.subtract(chars_b[None, :], CH, out=ba_len)
+    ba_len += n_ba
+    ba_len -= 1.0
+    ba_len[n_ba <= 0] = 0.0
+    one = mat("one")                # (sect_len > 0) as float
+    np.copyto(one, sect_len > 0, casting="unsafe")
     with np.errstate(divide="ignore", invalid="ignore"):
-        sect_ab_ratio = (
-            1.0 - (one + ab_len) / (2.0 * sect_len + one + ab_len)
-        ) * 100.0
-        sect_ba_ratio = (
-            1.0 - (one + ba_len) / (2.0 * sect_len + one + ba_len)
-        ) * 100.0
-    best_sect = np.maximum(sect_ab_ratio, sect_ba_ratio)
-    lensum = ab_len + ba_len
+        # (1 - (one + x_len) / ((2*sect_len + one) + x_len)) * 100
+        num = mat("num")
+        den = mat("den")
+        np.multiply(sect_len, 2.0, out=den)
+        den += one
+        den += ab_len
+        np.add(one, ab_len, out=num)
+        sect_ab_ratio = mat("sabr")
+        np.divide(num, den, out=sect_ab_ratio)
+        np.subtract(1.0, sect_ab_ratio, out=sect_ab_ratio)
+        sect_ab_ratio *= 100.0
+        np.multiply(sect_len, 2.0, out=den)
+        den += one
+        den += ba_len
+        np.add(one, ba_len, out=num)
+        sect_ba_ratio = mat("sbbr")
+        np.divide(num, den, out=sect_ba_ratio)
+        np.subtract(1.0, sect_ba_ratio, out=sect_ba_ratio)
+        sect_ba_ratio *= 100.0
+    best_sect = mat("best")
+    np.maximum(sect_ab_ratio, sect_ba_ratio, out=best_sect)
+    lensum = mat("lensum")
+    np.add(ab_len, ba_len, out=lensum)
     with np.errstate(divide="ignore", invalid="ignore"):
-        bound = np.where(
-            lensum > 0, 200.0 * np.minimum(ab_len, ba_len) / lensum, 100.0
-        )
+        bound = mat("bound")        # where(lensum>0, 200*min(ab,ba)/lensum, 100)
+        np.minimum(ab_len, ba_len, out=bound)
+        bound *= 200.0
+        np.divide(bound, lensum, out=bound)
+        bound[lensum <= 0] = 100.0
 
-    score = np.zeros((nl, nr), dtype=np.float64)
+    score = mat("score")
+    score.fill(0.0)
     subset = has_sect & ((n_ab == 0) | (n_ba == 0))
     score[subset] = 100.0
     # decided by the sect branch without LCS
@@ -483,15 +578,21 @@ def cross_token_set_scores(
         cnt_a, valid_a = _char_count_rows(ljoin)
         cnt_b, valid_b = _char_count_rows(rjoin)
         both = (cnt_a.sum(axis=0) > 0) & (cnt_b.sum(axis=0) > 0)
-        common = np.zeros((nl, nr), dtype=np.float64)
+        common = mat("common")
+        common.fill(0.0)
+        cm_tmp = mat("cmtmp")
         for c in np.nonzero(both)[0]:
-            common += np.minimum(cnt_a[:, c][:, None], cnt_b[:, c][None, :])
+            np.minimum(cnt_a[:, c][:, None], cnt_b[:, c][None, :], out=cm_tmp)
+            common += cm_tmp
         lj_len = np.array([len(s) for s in ljoin], dtype=np.float64)
         rj_len = np.array([len(s) for s in rjoin], dtype=np.float64)
-        full_lensum = lj_len[:, None] + rj_len[None, :]
         with np.errstate(divide="ignore", invalid="ignore"):
-            char_ub = np.where(full_lensum > 0, 200.0 * common / full_lensum,
-                               100.0)
+            char_ub = mat("charub")  # where(lensum>0, 200*common/lensum, 100)
+            full_lensum = cm_tmp     # reuse the slot; cm_tmp is dead here
+            np.add(lj_len[:, None], rj_len[None, :], out=full_lensum)
+            np.multiply(common, 200.0, out=char_ub)
+            np.divide(char_ub, full_lensum, out=char_ub)
+            char_ub[full_lensum <= 0] = 100.0
         retire = (
             undecided & (C == 0) & (char_ub < cutoff)
             & valid_a[:, None] & valid_b[None, :]

@@ -49,6 +49,32 @@ def work(args):
     return len(K.cross_token_set_scores(l, r, 85.0)[0])
 
 
+def _spin(_):
+    """L1-resident integer work: no DRAM traffic, no allocator — measures
+    the box's pure all-core frequency/scheduling ceiling, the upper bound
+    ANY workload (however cache-friendly) can scale to."""
+    a = np.arange(4096, dtype=np.uint64)
+    b = a.copy()
+    acc = a.copy()
+    for _ in range(12000):
+        np.bitwise_and(acc, b, out=acc)
+        np.add(acc, a, out=acc)
+        np.bitwise_or(acc, b, out=acc)
+    return int(acc[0])
+
+
+def compute_ceiling() -> dict[int, float]:
+    res = {}
+    for procs in [8, 32]:
+        with mp.Pool(procs) as pool:
+            pool.map(_spin, range(procs))
+            t0 = time.perf_counter()
+            pool.map(_spin, range(procs * 4))
+            dt = time.perf_counter() - t0
+        res[procs] = procs * 4 / dt
+    return res
+
+
 def main() -> None:
     blocks = make_work(N_BLOCKS, S_PER, R_PER)
     pairs = N_BLOCKS * S_PER * R_PER
@@ -61,8 +87,14 @@ def main() -> None:
             dt = time.perf_counter() - t0
         results[procs] = pairs / dt
         print(f"procs={procs} time={dt:.2f}s pairs_per_sec={pairs/dt/1e6:.2f}M")
+    kern_832 = (results[32] / results[8]) / 4
     print(f"eff 4->16: {(results[16]/results[4])/4:.3f}   "
-          f"eff 8->32: {(results[32]/results[8])/4:.3f}")
+          f"eff 8->32: {kern_832:.3f}")
+    ceil = compute_ceiling()
+    ceil_832 = ceil[32] / ceil[8] / 4
+    print(f"L1-resident compute ceiling 8->32: {ceil_832:.3f} "
+          f"(kernel reaches {100*kern_832/ceil_832:.0f}% of the box's "
+          f"attainable scaling)")
 
 
 if __name__ == "__main__":
