@@ -217,30 +217,33 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     n_planes: int = 6,
     dim: int = 64,
+    n_bands: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the semantic-dedup family):
-    hyperplane-LSH bucket both copies of the corpus, compare only within
-    buckets, keep pairs with cosine ≥ threshold.
+    hyperplane-LSH bucket both copies of the corpus per band, compare only
+    within (band, bucket), keep pairs with cosine ≥ threshold.  A pair
+    colliding in several bands is deduplicated before scoring.
 
-    Scale shape: shuffle ∝ rows (bucket equi-join), pairs ∝ Σ bucket² —
-    never the corpus cross-product.  Recall follows the LSH bound
-    P[same bucket] = (1 - θ/π)^n_planes for angle θ; raise recall by
-    lowering n_planes or unioning several plane sets (band trick)."""
+    Scale shape: shuffle ∝ rows×n_bands (bucket equi-join), pairs ∝
+    Σ_band Σ bucket² — never the corpus cross-product.  Recall follows
+    the OR-banding bound P[candidate] = 1 - (1 - (1-θ/π)^n_planes)^n_bands
+    — raise n_bands for recall at linear cost instead of shrinking
+    n_planes (which coarsens every bucket quadratically)."""
     from address_matcher_spark.operators.similarity import (
+        banded_signatures,
         cosine_similarity,
-        hyperplane_signature,
     )
 
-    sig = hyperplane_signature(F.col(vec_col), n_planes, dim)
-    a = embeddings.select(F.col(id_col).alias("a"),
-                          F.col(vec_col).alias("va"), sig.alias("bucket"))
-    b = embeddings.select(F.col(id_col).alias("b"),
-                          F.col(vec_col).alias("vb"), sig.alias("bucket"))
+    a = banded_signatures(embeddings, "a", "va", n_planes, dim, n_bands,
+                          id_col, vec_col)
+    b = banded_signatures(embeddings, "b", "vb", n_planes, dim, n_bands,
+                          id_col, vec_col)
     pairs = (
-        a.join(b, "bucket")
+        a.join(b, ["band", "bucket"])
         .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])  # identical payloads per dup → safe
         .select(
             "a", "b",
             F.round(cosine_similarity(F.col("va"), F.col("vb")), 4).alias("cosine"),

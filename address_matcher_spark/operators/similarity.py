@@ -64,11 +64,19 @@ def _plane_component(plane: int, dim: int) -> Column:
     return (h % 2001 - 1000).cast("double")
 
 
-def hyperplane_signature(vec: Column, n_planes: int, dim: int) -> Column:
-    """Sign-of-dot-product LSH signature as a bigint bucket id."""
+def hyperplane_signature(
+    vec: Column, n_planes: int, dim: int, band: int = 0
+) -> Column:
+    """Sign-of-dot-product LSH signature as a bigint bucket id.  Each
+    `band` draws a DISJOINT plane set (indices band*n_planes ..), so
+    OR-ing several bands is the MinHash band trick for the angular
+    family: P[collide in ≥1 band] = 1 - (1 - (1-θ/π)^n_planes)^n_bands —
+    recall is tunable without shrinking the per-band bucket count."""
     terms = []
     for p in range(n_planes):
-        plane = F.array(*[_plane_component(p, d) for d in range(dim)])
+        plane = F.array(
+            *[_plane_component(band * n_planes + p, d) for d in range(dim)]
+        )
         dot = _dot(vec, plane)
         terms.append(
             F.when(dot >= 0, F.lit(2 ** p).cast("bigint")).otherwise(F.lit(0))
@@ -79,27 +87,75 @@ def hyperplane_signature(vec: Column, n_planes: int, dim: int) -> Column:
     return out
 
 
+def banded_signatures(
+    df: DataFrame,
+    id_alias: str,
+    vec_alias: str,
+    n_planes: int,
+    dim: int,
+    n_bands: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One row per (row, band) with that band's bucket id — the exploded
+    form that keeps a multiprobe candidate join a plain equi-join on
+    (band, bucket).  Row cost is n_bands×, pair cost is per-band Σ bucket²
+    summed over bands; the join NEVER degenerates to OR-of-equalities
+    (which Catalyst would plan as a nested-loop)."""
+    sigs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            hyperplane_signature(F.col(vec_col), n_planes, dim, band=b)
+            .alias("bucket"),
+        )
+        for b in range(n_bands)
+    ])
+    return df.select(
+        F.col(id_col).alias(id_alias),
+        F.col(vec_col).alias(vec_alias),
+        F.explode(sigs).alias("__bb"),
+    ).select(
+        id_alias, vec_alias,
+        F.col("__bb.band").alias("band"),
+        F.col("__bb.bucket").alias("bucket"),
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_vec: list[float],
     k: int = 10,
     n_planes: int = 6,
+    n_bands: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: exact cosine ranking restricted to the query's
-    hyperplane bucket (plus verification-friendly bucket column)."""
+    """Approximate top-k: exact cosine ranking restricted to the rows
+    sharing the query's hyperplane bucket in AT LEAST ONE band (multiprobe
+    OR-banding; n_bands=1 is the single-bucket round-2 behavior).  For a
+    single query the per-band membership is a pushdown-friendly filter —
+    no join needed, so the OR of band equalities stays a plain scan
+    predicate."""
     dim = len(query_vec)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    qsigs = (
+        embeddings.sparkSession.range(1)
+        .select(*[
+            hyperplane_signature(q, n_planes, dim, band=b).alias(f"b{b}")
+            for b in range(n_bands)
+        ])
+        .collect()[0]
+    )
     bucketed = embeddings.withColumn(
         "bucket", hyperplane_signature(F.col(vec_col), n_planes, dim)
     )
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
-    qsig = (
-        bucketed.sparkSession.range(1)
-        .select(hyperplane_signature(q, n_planes, dim).alias("b"))
-        .collect()[0]["b"]
-    )
-    cand = bucketed.filter(F.col("bucket") == int(qsig))
+    cond = F.col("bucket") == int(qsigs["b0"])
+    for b in range(1, n_bands):
+        cond = cond | (
+            hyperplane_signature(F.col(vec_col), n_planes, dim, band=b)
+            == int(qsigs[f"b{b}"])
+        )
+    cand = bucketed.filter(cond)
     scored = cand.select(
         F.col(id_col),
         F.round(cosine_similarity(F.col(vec_col), q), 4).alias("cosine"),
@@ -132,33 +188,39 @@ def knn_join_bruteforce(
 
 def knn_join_lsh(
     left: DataFrame, right: DataFrame, k: int = 3,
-    n_planes: int = 6, dim: int = 64,
+    n_planes: int = 6, dim: int = 64, n_bands: int = 1,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Corpus×corpus approximate k-NN join — the scale path the broadcast
     brute-force join can't take: both sides get a hyperplane-LSH bucket
-    and candidates come only from the SAME bucket, so the join is a plain
-    equi-join on `bucket` (shuffle ∝ rows, pairs ∝ Σ bucket²) instead of a
-    full cross product.  Top-k per left id via one row_number window.
+    per band and candidates come only from rows sharing a bucket in some
+    band, so the join is a plain equi-join on (band, bucket) — shuffle ∝
+    rows×n_bands, pairs ∝ Σ_band Σ bucket² — never a cross product.
+    Pairs colliding in several bands are deduplicated BEFORE the cosine
+    (each pair scored once).  Top-k per left id via one row_number window.
 
     At 100 TB: bucket is the natural cluster/partition key for both
     tables; with b buckets the pair fan-out drops by ~b× vs brute force.
-    Recall is tunable with n_planes (fewer planes → bigger buckets →
-    higher recall, more compute) or by OR-ing several plane sets like the
-    MinHash band trick (dedup.minhash_lsh_pairs).
+    Recall: P[candidate] = 1 - (1 - (1-θ/π)^n_planes)^n_bands — raise
+    n_bands for recall at linear candidate cost, instead of shrinking
+    n_planes (which coarsens every bucket quadratically).
     """
     from pyspark.sql import Window
 
-    sig = hyperplane_signature(F.col(vec_col), n_planes, dim)
-    l = left.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"),
-        sig.alias("bucket"),
+    l = banded_signatures(left, "qid", "qvec", n_planes, dim, n_bands,
+                          id_col, vec_col)
+    r = banded_signatures(right, "cid", "cvec", n_planes, dim, n_bands,
+                          id_col, vec_col)
+    pairs = l.join(r, ["band", "bucket"]).filter(F.col("qid") != F.col("cid"))
+    # deterministic dedup: a pair colliding in several bands keeps its
+    # LOWEST band's row (dropDuplicates would pick arbitrarily, making the
+    # carried bucket column nondeterministic)
+    wd = Window.partitionBy("qid", "cid").orderBy(F.asc("band"))
+    pairs = (
+        pairs.withColumn("__rn", F.row_number().over(wd))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "band")
     )
-    r = right.select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"),
-        sig.alias("bucket"),
-    )
-    pairs = l.join(r, "bucket").filter(F.col("qid") != F.col("cid"))
     scored = pairs.select(
         "qid", "cid", "bucket",
         F.round(cosine_similarity(F.col("qvec"), F.col("cvec")), 4).alias("cosine"),

@@ -1232,9 +1232,11 @@ def _plane_component_py(plane: int, dim: int) -> float:
     return float(h % 2001 - 1000)
 
 
-def _planes_py(n_planes: int, dim: int) -> list[list[float]]:
+def _planes_py(n_planes: int, dim: int, band: int = 0) -> list[list[float]]:
+    # band b draws the DISJOINT plane indices b*n_planes .. (b+1)*n_planes-1,
+    # matching similarity.hyperplane_signature's band parameter
     return [
-        [_plane_component_py(p, d) for d in range(dim)]
+        [_plane_component_py(band * n_planes + p, d) for d in range(dim)]
         for p in range(n_planes)
     ]
 
@@ -1385,13 +1387,15 @@ _register(
 # ---------- J. LSH-bucketed corpus×corpus k-NN join ------------------------
 
 
-def _bucket_sql(n_planes: int = 6, dim: int = 64) -> str:
-    planes = _planes_py(n_planes, dim)
+def _bucket_sql(n_planes: int = 6, dim: int = 64, band: int = 0,
+                rel: str = "") -> str:
+    planes = _planes_py(n_planes, dim, band)
+    col = f"{rel}embedding" if rel else "embedding"
 
     def dot_sql(plane):
         lits = "[" + ", ".join(f"{v!r}" for v in plane) + "]"
         return (
-            f"list_sum(list_transform(list_zip(embedding, {lits}), "
+            f"list_sum(list_transform(list_zip({col}, {lits}), "
             f"p -> cast(p[1] AS double) * p[2]))"
         )
 
@@ -1406,14 +1410,19 @@ _register(
     lambda spark, sf: _q(spark, sf, lambda s: (
         similarity.knn_join_lsh(
             s.table("embeddings").filter(F.col("vec_id") < 40),
-            s.table("embeddings"), k=3,
+            s.table("embeddings"), k=3, n_bands=2,
         )
     )),
     f"""
     WITH b AS (
-      SELECT vec_id, embedding, {_bucket_sql()} AS bucket FROM embeddings),
+      SELECT vec_id, embedding,
+             {_bucket_sql(band=0)} AS bucket0,
+             {_bucket_sql(band=1)} AS bucket1
+      FROM embeddings),
     pairs AS (
-      SELECT q.vec_id AS qid, c.vec_id AS cid, q.bucket AS bucket,
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             CASE WHEN q.bucket0 = c.bucket0 THEN q.bucket0
+                  ELSE q.bucket1 END AS bucket,
              round(
                list_sum(list_transform(list_zip(q.embedding, c.embedding),
                         p -> cast(p[1] AS double) * cast(p[2] AS double)))
@@ -1422,7 +1431,9 @@ _register(
                   * sqrt(list_sum(list_transform(c.embedding,
                         x -> cast(x AS double) * cast(x AS double))))), 4)
              AS cosine
-      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      FROM b q JOIN b c
+        ON (q.bucket0 = c.bucket0 OR q.bucket1 = c.bucket1)
+       AND q.vec_id <> c.vec_id
       WHERE q.vec_id < 40)
     SELECT qid, cid, bucket, cosine, rank FROM (
       SELECT qid, cid, bucket, cosine,
@@ -1439,11 +1450,15 @@ _register(
 _register(
     "dedup_embedding_cosine",
     lambda spark, sf: _q(spark, sf, lambda s: (
-        dedup.embedding_near_dup_pairs(s.table("embeddings"), threshold=0.35)
+        dedup.embedding_near_dup_pairs(s.table("embeddings"), threshold=0.35,
+                                       n_bands=2)
     )),
     f"""
     WITH b AS (
-      SELECT vec_id, embedding, {_bucket_sql()} AS bucket FROM embeddings)
+      SELECT vec_id, embedding,
+             {_bucket_sql(band=0)} AS bucket0,
+             {_bucket_sql(band=1)} AS bucket1
+      FROM embeddings)
     SELECT a.vec_id AS a, c.vec_id AS b,
            round(
              list_sum(list_transform(list_zip(a.embedding, c.embedding),
@@ -1453,7 +1468,9 @@ _register(
                 * sqrt(list_sum(list_transform(c.embedding,
                       x -> cast(x AS double) * cast(x AS double))))), 4)
            AS cosine
-    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    FROM b a JOIN b c
+      ON (a.bucket0 = c.bucket0 OR a.bucket1 = c.bucket1)
+     AND a.vec_id < c.vec_id
     WHERE round(
              list_sum(list_transform(list_zip(a.embedding, c.embedding),
                       p -> cast(p[1] AS double) * cast(p[2] AS double)))

@@ -92,6 +92,69 @@ def test_knn_join(spark):
     assert all(r.qid == 0 and r.cid != 0 for r in out)
 
 
+def test_lsh_or_banding_recall(spark):
+    """OR-banding recall on the semantic-dedup workload: planted near-
+    duplicates (cosine ≈ 0.97) must be recovered at ≥ 0.9 recall with 4
+    bands, and recall must improve monotonically with band count
+    (P[candidate] = 1 - (1 - (1-θ/π)^n_planes)^n_bands)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(200, 64)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    planted = []
+    for j in range(60):
+        src = j * 3
+        noisy = base[src] + 0.12 * rng.randn(64)
+        rows.append((1000 + j, [float(x) for x in noisy]))
+        planted.append((src, 1000 + j))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def recall(n_bands: int) -> float:
+        got = {
+            (r["a"], r["b"])
+            for r in dedup.embedding_near_dup_pairs(
+                df, threshold=0.9, n_bands=n_bands
+            ).collect()
+        }
+        # no false positives possible: every returned pair passed the
+        # exact cosine threshold — banding only affects recall
+        return sum(1 for p in planted if p in got) / len(planted)
+
+    r1, r2, r4 = recall(1), recall(2), recall(4)
+    assert r1 <= r2 <= r4
+    assert r4 >= 0.9
+
+
+def test_knn_join_lsh_banding_consistency(spark):
+    """Banded k-NN join: every returned pair is also in the brute-force
+    ranking universe, ranks are per-qid contiguous from 1, and more bands
+    never return fewer candidate pairs."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.randn(64)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    left = df.filter(F.col("vec_id") < 15)
+
+    def pairs(nb):
+        return {
+            (r["qid"], r["cid"])
+            for r in similarity.knn_join_lsh(left, df, k=3, n_bands=nb).collect()
+        }
+
+    p1, p3 = pairs(1), pairs(3)
+    # candidate sets grow with bands → top-k can only get closer to exact
+    out = similarity.knn_join_lsh(left, df, k=3, n_bands=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["qid"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    assert all(q != c for q, c in p3)
+    assert len(p3) >= len(p1)
+
+
 def test_multimodal_plumbing(spark):
     payloads = [
         (1, b"\x89PNG\r\n" + b"x" * 100),
