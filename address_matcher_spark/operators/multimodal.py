@@ -4,12 +4,14 @@ with typed metadata, decode/feature-extract as Arrow-batched UDFs.
 Decode support (zero external deps — stdlib struct/zlib + numpy only):
   real   BMP (24bpp uncompressed), PNG (8-bit gray/RGB/RGBA,
          non-interlaced: zlib inflate + sub/up/average/paeth unfilter),
-         WAV (PCM 8/16-bit)
-  stub   JPEG/GIF/FLAC/video — no codecs ship in this container, so these
-         fall back to ``_decode_stub`` (deterministic fake derived from the
-         payload bytes, clearly marked) — the Spark-side plumbing (schema,
-         mapInPandas batching, feature shapes) is identical either way;
-         swapping the stub for PIL/ffmpeg is a one-function change.
+         JPEG (baseline sequential SOF0: huffman entropy decode +
+         dequantize + 8×8 IDCT, luma plane), WAV (PCM 8/16-bit)
+  stub   progressive JPEG / GIF / FLAC / video — no codecs ship in this
+         container, so these fall back to ``_decode_stub`` (deterministic
+         fake derived from the payload bytes, clearly marked) — the
+         Spark-side plumbing (schema, mapInPandas batching, feature
+         shapes) is identical either way; swapping the stub for
+         PIL/ffmpeg is a one-function change.
 
 Features: images → 8×8 block-mean grayscale (64-dim, the classic aHash
 grid); audio → [rms, zero-crossing-rate, mean, peak] + 4 coarse envelope
@@ -159,6 +161,206 @@ def _decode_png(b: bytes) -> np.ndarray:
     return 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
 
 
+# --- baseline JPEG (pure numpy: huffman entropy decode + 8x8 IDCT) --------
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# orthonormal 8-point DCT-II basis; IDCT(block) = A.T @ block @ A
+_DCT_A = np.array([
+    [np.cos((2 * x + 1) * u * np.pi / 16) * (np.sqrt(0.125) if u == 0
+     else 0.5) for x in range(8)] for u in range(8)
+])
+
+
+class _BitReader:
+    """MSB-first bit reader over the destuffed entropy-coded segment."""
+
+    def __init__(self, data: bytes):
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.pos + n > len(self.bits):
+            raise ValueError("JPEG bitstream exhausted")
+        v = 0
+        for bit in self.bits[self.pos: self.pos + n]:
+            v = (v << 1) | int(bit)
+        self.pos += n
+        return v
+
+
+def _huff_table(bits_counts: list[int], values: bytes) -> dict:
+    """Canonical JPEG huffman: {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits_counts[ln - 1]):
+            table[(ln, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(reader: _BitReader, table: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | reader.read(1)
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """JPEG F.2.2.1 sign extension of an s-bit magnitude."""
+    return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+
+def _decode_jpeg(b: bytes) -> np.ndarray:
+    """Baseline sequential JPEG (SOF0) → grayscale float array [h, w].
+
+    Pure numpy/stdlib: marker parse → canonical huffman entropy decode
+    (every component's coefficients are decoded to keep the bitstream in
+    sync) → dequantize → inverse zigzag → orthonormal 8×8 IDCT → level
+    shift.  Only the Y (luma) plane is reconstructed — the feature path is
+    grayscale.  Any sampling factors are accepted for the chroma planes
+    since their blocks are discarded.  Progressive (SOF2), arithmetic
+    coding, DRI/restart markers and 12-bit precision raise
+    NotImplementedError and fall back to the declared stub."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None            # (h, w, [(cid, hs, vs, tq), ...])
+    scan_comps = None       # [(cid, td, ta), ...]
+    scan_data = None
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = b[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        ln = struct.unpack_from(">H", b, pos + 2)[0]
+        body = b[pos + 4: pos + 2 + ln]
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 15
+                if pq != 0:
+                    raise NotImplementedError("12-bit JPEG quant table")
+                qt[tq] = np.frombuffer(
+                    body, dtype=np.uint8, count=64, offset=off + 1
+                ).astype(np.float64)
+                off += 65
+        elif marker in (0xC0, 0xC1):  # SOF0/1 (baseline / ext. sequential)
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError("JPEG precision != 8")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = struct.unpack_from("BBB", body, 6 + 3 * c)
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("non-baseline JPEG (progressive/etc)")
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 15
+                counts = list(body[off + 1: off + 17])
+                nvals = sum(counts)
+                vals = body[off + 17: off + 17 + nvals]
+                (huff_dc if tc == 0 else huff_ac)[th] = _huff_table(counts, vals)
+                off += 17 + nvals
+        elif marker == 0xDD:  # DRI
+            if struct.unpack_from(">H", body, 0)[0] != 0:
+                raise NotImplementedError("JPEG restart markers")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = []
+            for c in range(ns):
+                cid, tdta = struct.unpack_from("BB", body, 1 + 2 * c)
+                scan_comps.append((cid, tdta >> 4, tdta & 15))
+            # entropy-coded data: strip 0xFF00 stuffing, stop at a marker
+            raw = bytearray()
+            p = pos + 2 + ln
+            while p < len(b) - 1:
+                byte = b[p]
+                if byte == 0xFF:
+                    nxt = b[p + 1]
+                    if nxt == 0x00:
+                        raw.append(0xFF)
+                        p += 2
+                        continue
+                    break  # real marker (EOI or otherwise)
+                raw.append(byte)
+                p += 1
+            scan_data = bytes(raw)
+            break
+        pos += 2 + ln
+    if frame is None or scan_data is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    h, w, comps = frame
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * max_h))
+    mcus_y = -(-h // (8 * max_v))
+    y_cid = comps[0][0]  # first component is luma (or the only one)
+    y_hs, y_vs = comps[0][1], comps[0][2]
+    y_plane = np.zeros((mcus_y * y_vs * 8, mcus_x * y_hs * 8))
+    reader = _BitReader(scan_data)
+    pred = {cid: 0 for cid, _, _, _ in comps}
+    scan_map = {cid: (td, ta) for cid, td, ta in scan_comps}
+    comp_info = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for cid, _, _ in scan_comps:
+                hs, vs, tq = comp_info[cid]
+                td, ta = scan_map[cid]
+                for vy in range(vs):
+                    for vx in range(hs):
+                        zz = np.zeros(64)
+                        s = _huff_decode(reader, huff_dc[td])
+                        diff = _extend(reader.read(s), s) if s else 0
+                        pred[cid] += diff
+                        zz[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(reader, huff_ac[ta])
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            size = rs & 15
+                            if k > 63:
+                                raise ValueError("JPEG AC index overrun")
+                            zz[k] = _extend(reader.read(size), size)
+                            k += 1
+                        if cid != y_cid:
+                            continue  # chroma decoded for sync, discarded
+                        block = np.zeros(64)
+                        block[_ZIGZAG] = zz * qt[tq]
+                        px = _DCT_A.T @ block.reshape(8, 8) @ _DCT_A
+                        by = (my * y_vs + vy) * 8
+                        bx = (mx * y_hs + vx) * 8
+                        y_plane[by: by + 8, bx: bx + 8] = px + 128.0
+    return np.clip(y_plane[:h, :w], 0.0, 255.0)
+
+
 def _decode_wav(b: bytes) -> tuple[np.ndarray, int, int]:
     """PCM 8/16-bit WAV → (mono float samples in [-1, 1], rate, channels)."""
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
@@ -211,7 +413,7 @@ def _audio_feature(s: np.ndarray) -> np.ndarray:
 
 def _decode_stub(payload: bytes) -> tuple[int, int, np.ndarray]:
     """STUB for formats whose codecs don't ship in this container
-    (JPEG/GIF/FLAC/video): a deterministic fake (width, height, 8-dim
+    (progressive JPEG/GIF/FLAC/video): a deterministic fake (width, height, 8-dim
     feature) derived from the payload bytes so the pipeline shape stays
     fully exercisable.  Replace with PIL/ffmpeg in production."""
     h = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8).astype(np.float32)
@@ -232,6 +434,10 @@ def decode_media(payload: bytes) -> tuple[str, int, int, bool, np.ndarray]:
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
             gray = _decode_png(payload)
             return ("image/png", gray.shape[1], gray.shape[0], True,
+                    _image_feature(gray))
+        if payload[:2] == b"\xff\xd8":
+            gray = _decode_jpeg(payload)
+            return ("image/jpeg", gray.shape[1], gray.shape[0], True,
                     _image_feature(gray))
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             s, rate, channels = _decode_wav(payload)

@@ -256,6 +256,149 @@ def test_multimodal_real_decoders():
     assert ok is False and mt == "application/octet-stream"
 
 
+def _zigzag_pairs():
+    """Standard JPEG zigzag traversal, generated independently of the
+    decoder's table (shared-constant bugs would cancel in a roundtrip)."""
+    out = []
+    for d in range(15):
+        rows = range(min(d, 7), max(0, d - 7) - 1, -1) if d % 2 == 0 else \
+               range(max(0, d - 7), min(d, 7) + 1)
+        out.extend((r, d - r) for r in rows)
+    return out
+
+
+def _make_jpeg(img, color: bool = False, quant: int = 10) -> bytes:
+    """Minimal baseline JPEG encoder (test-side only): grayscale or 4:4:4
+    YCbCr with neutral chroma; canonical huffman tables built from the
+    actually-emitted symbols (all codes length 8), so the decoder's
+    canonical-table construction is genuinely exercised."""
+    import numpy as np
+
+    h, w = img.shape
+    assert h % 8 == 0 and w % 8 == 0
+    A = np.array([[np.cos((2 * x + 1) * u * np.pi / 16) *
+                   (np.sqrt(0.125) if u == 0 else 0.5)
+                   for x in range(8)] for u in range(8)])
+    zz = _zigzag_pairs()
+    Q = np.full((8, 8), float(quant))
+
+    def block_symbols(qblk, pred):
+        """-> (symbols+bits list, new dc pred); entries (kind, sym, val, s)."""
+        seq = [int(round(qblk[r, c])) for r, c in zz]
+        out = []
+        dc = seq[0]
+        diff = dc - pred
+        s = int(abs(diff)).bit_length()
+        out.append(("dc", s, diff, s))
+        run = 0
+        last_nz = max((k for k in range(1, 64) if seq[k]), default=0)
+        for k in range(1, 64):
+            v = seq[k]
+            if k > last_nz:
+                out.append(("ac", 0x00, 0, 0))  # EOB
+                break
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                out.append(("ac", 0xF0, 0, 0))
+                run -= 16
+            s = int(abs(v)).bit_length()
+            out.append(("ac", (run << 4) | s, v, s))
+            run = 0
+        else:
+            if last_nz == 63 and seq[63] != 0:
+                pass  # block ended exactly on a nonzero coef: no EOB
+        return out, dc
+
+    comps = 3 if color else 1
+    planes = [img] + ([np.full((h, w), 128.0)] * 2 if color else [])
+    stream = []  # (comp_idx, entries)
+    preds = [0] * comps
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            for ci in range(comps):
+                blk = planes[ci][by:by + 8, bx:bx + 8] - 128.0
+                coef = A @ blk @ A.T
+                qblk = np.round(coef / Q)
+                entries, preds[ci] = block_symbols(qblk, preds[ci])
+                stream.append(entries)
+    dc_syms = sorted({e[1] for entries in stream for e in entries
+                      if e[0] == "dc"})
+    ac_syms = sorted({e[1] for entries in stream for e in entries
+                      if e[0] == "ac"})
+
+    def canonical(vals):
+        counts = [0] * 16
+        counts[7] = len(vals)  # all codes 8 bits
+        codes = {v: i for i, v in enumerate(vals)}
+        return counts, bytes(vals), {v: (8, c) for v, c in codes.items()}
+
+    dc_counts, dc_vals, dc_codes = canonical(dc_syms)
+    ac_counts, ac_vals, ac_codes = canonical(ac_syms)
+
+    bits = []
+    for entries in stream:
+        for kind, sym, val, s in entries:
+            ln, code = (dc_codes if kind == "dc" else ac_codes)[sym]
+            bits.extend((code >> (ln - 1 - i)) & 1 for i in range(ln))
+            if s:
+                mag = val + (1 << s) - 1 if val < 0 else val
+                bits.extend((mag >> (s - 1 - i)) & 1 for i in range(s))
+    while len(bits) % 8:
+        bits.append(1)
+    data = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = int("".join(map(str, bits[i:i + 8])), 2)
+        data.append(byte)
+        if byte == 0xFF:
+            data.append(0x00)
+
+    import struct as st
+    out = bytearray(b"\xff\xd8")
+    dqt = bytes([0x00]) + bytes(int(Q[r, c]) for r, c in zz)
+    out += b"\xff\xdb" + st.pack(">H", 2 + len(dqt)) + dqt
+    sof = st.pack(">BHHB", 8, h, w, comps)
+    for ci in range(comps):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += b"\xff\xc0" + st.pack(">H", 2 + len(sof)) + sof
+    dht = bytes([0x00]) + bytes(dc_counts) + dc_vals
+    dht += bytes([0x10]) + bytes(ac_counts) + ac_vals
+    out += b"\xff\xc4" + st.pack(">H", 2 + len(dht)) + dht
+    sos = bytes([comps])
+    for ci in range(comps):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + st.pack(">H", 2 + len(sos)) + sos
+    out += bytes(data) + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_decoder_roundtrip():
+    """Baseline JPEG decode is REAL: an independently-written encoder's
+    output decodes back to the source image within quantization error,
+    for grayscale and 4:4:4 color (chroma kept in bitstream sync)."""
+    import numpy as np
+
+    x = np.arange(24)[None, :] * 6.0
+    y = np.arange(16)[:, None] * 4.0
+    img = np.clip(x + y + 40.0 * np.sin(np.arange(24)[None, :] / 3.0), 0, 255)
+
+    for color in (False, True):
+        payload = _make_jpeg(img, color=color)
+        mt, w, h, ok, feat = multimodal.decode_media(payload)
+        assert (mt, w, h, ok) == ("image/jpeg", 24, 16, True)
+        gray = multimodal._decode_jpeg(payload)
+        err = np.abs(gray - img)
+        assert err.mean() < 3.0 and err.max() < 20.0
+
+    # progressive JPEG (SOF2) falls back to the declared stub
+    prog = bytearray(_make_jpeg(img))
+    prog[prog.index(b"\xff\xc0", 2) + 1] = 0xC2
+    mt, w, h, ok, _ = multimodal.decode_media(bytes(prog))
+    assert ok is False and mt == "application/octet-stream"
+
+
 def test_decode_media_corrupt_payloads_fall_back():
     """Valid magic bytes + corrupt body (the crawled-corpus norm) must NOT
     raise out of the UDF — they fall back to the stub with decoded=false."""
