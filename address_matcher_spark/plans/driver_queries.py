@@ -1014,8 +1014,38 @@ def _multimodal_rows_only(spark, sf):
     )
 
 
+def _single_address_rows_only(spark, sf):
+    """EP2: the reference's single-address textbox path (app.py's textbox
+    input → tools/preparation.py:17-51) — a ONE-ROW search frame through
+    the same api.match_addresses call the batch path uses, against a
+    last-column-is-postcode reference extract (exercising the S3 coercion
+    too).  Cheap insurance the one-call user API stays healthy under the
+    driver's default session.  Rows-only: the waterfall's fuzzy kernel is
+    not SQL-expressible."""
+    register_views(spark, sf)
+    from address_matcher_spark import api
+
+    s = spark.table("er_search").filter(F.col("record_id") == 1).select(
+        "record_id",
+        F.col("body").alias("address_line1"),
+        F.lit("").alias("address_line2"),
+        F.lit("").alias("town"),
+        "postcode",
+    )
+    r = spark.table("er_ref").select(
+        "ref_id",
+        F.concat_ws(" ", F.col("pao_number"), F.col("street")).alias("addr"),
+        F.col("postcode").alias("pc"),
+    )
+    res = api.match_addresses(s, r, ref_address_cols=["addr", "pc"])
+    return res.results.select(
+        "record_id", "ref_id", "fuzzy_score", "full_match", "match_method"
+    )
+
+
 _register("er_pipeline_fuzzy_waterfall", _pipeline_rows_only, None)
 _register("er_pipeline_clusters", _clusters_rows_only, None)
+_register("er_single_address_api", _single_address_rows_only, None)
 _register("ann_lsh_topk", _ann_lsh_rows_only, None)
 _register("dedup_simhash_buckets", _simhash_rows_only, None)
 _register("multimodal_decode_stub", _multimodal_rows_only, None)

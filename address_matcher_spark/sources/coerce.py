@@ -103,6 +103,10 @@ def coerce_reference_schema(
     for c in LPI_ADDRESS_COLS:
         if c not in df.columns:
             df = df.withColumn(c, F.lit(None).cast("string"))
+    if "UPRN" not in df.columns:
+        # thin extracts without an id column still flow through the full
+        # pipeline (UPRN is carried into results/join-back)
+        df = df.withColumn("UPRN", F.lit(None).cast("bigint"))
     return df
 
 

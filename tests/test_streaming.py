@@ -134,6 +134,85 @@ def test_windowed_aggregation(spark, fx, tmp_path):
     assert all(r.lang == "en" for r in rows)
 
 
+def test_job_stream_two_drop_e2e(spark, fx, ref_sides, tmp_path):
+    """scripts/job_stream.py end-to-end over two drops: each AvailableNow
+    drain processes only new files (checkpointed), matches equal the batch
+    waterfall over the unique pages, change events fire for new urls and
+    content changes but not identical re-crawls."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "job_stream",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "job_stream.py"),
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+
+    in_dir = str(tmp_path / "drops")
+    ref_dir = str(tmp_path / "ref.parquet")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    spark.createDataFrame(fx["reference_addresses"]).write.parquet(ref_dir)
+    cfg = P.MatchConfig(run_field_passes=False)
+
+    pages = fx["pages"]
+    half = len(pages) // 2
+    drop1 = pages.iloc[:half]
+    # drop 2: the other half, plus 2 re-crawls with CHANGED text and 1
+    # identical re-crawl from drop 1
+    import pandas as pd
+
+    changed = pages.iloc[:2].copy()
+    changed["text"] = changed["text"] + " extra"
+    changed["html"] = [
+        h.replace(t0.encode(), (t0 + " extra").encode())
+        for h, t0 in zip(pages.iloc[:2]["html"], pages.iloc[:2]["text"])
+    ]
+    identical = pages.iloc[2:3].copy()
+    drop2 = pd.concat([pages.iloc[half:], changed, identical],
+                      ignore_index=True)
+
+    def write_drop(pdf, name):
+        tmp = os.path.join(in_dir, name + ".tmp")
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(tmp)
+        import glob
+        import shutil
+        shutil.move(glob.glob(tmp + "/part-*.parquet")[0],
+                    os.path.join(in_dir, name))
+        shutil.rmtree(tmp)
+
+    write_drop(drop1, "d0.parquet")
+    c1 = job.run(spark, in_dir, ref_dir, out_dir, ckpt, cfg)
+    write_drop(drop2, "d1.parquet")
+    c2 = job.run(spark, in_dir, ref_dir, out_dir, ckpt, cfg)
+    assert c2["matches"] > c1["matches"]
+    assert c2["change_events"] > c1["change_events"]
+
+    # matches == batch waterfall full-matches over the unique pages
+    got = spark.read.parquet(os.path.join(out_dir, "matches"))
+    assert got.groupBy("record_id").count().filter("count > 1").count() == 0
+    search = P.prepare_search(
+        P.search_from_pages(spark.createDataFrame(pages)), cfg
+    )
+    want = P.run_waterfall(
+        P.standardise_search(search, False), P.standardise_search(search, True),
+        *ref_sides, cfg,
+    ).filter(F.col("full_match"))
+    got_pairs = {(r.record_id, r.ref_id) for r in got.collect()}
+    want_pairs = {(r.record_id, r.ref_id) for r in want.collect()}
+    assert got_pairs == want_pairs
+
+    ev = spark.read.parquet(os.path.join(out_dir, "change_events"))
+    by_evt = {(r["url"], r["event"]) for r in ev.collect()}
+    urls = list(pages["url"])
+    assert (urls[0], "changed") in by_evt and (urls[1], "changed") in by_evt
+    # the identical re-crawl (urls[2]) emitted only its 'new' event
+    assert {e for u, e in by_evt if u == urls[2]} == {"new"}
+    # every unique url emitted exactly one 'new'
+    assert sum(1 for _, e in by_evt if e == "new") == len(set(urls))
+
+
 def test_stateful_url_change_events(spark, tmp_path):
     """applyInPandasWithState: per-url state survives across micro-batches
     and triggers — 'new' on first sight, 'changed' on content change,
