@@ -309,9 +309,13 @@ RESULT_COLS = [
 
 def estimated_bytes(df: DataFrame, n_rows: int, sample_rows: int = 2000) -> int:
     """Byte-size estimate for the broadcast decision: avg serialized row
-    width from a bounded sample × exact row count.  A row-count heuristic is
-    wrong at scale (5M rows × 30 string cols is multi-GB — executor OOM);
-    bytes are what the executor actually holds."""
+    width from an UNBIASED random sample × exact row count.  A row-count
+    heuristic is wrong at scale (5M rows × 30 string cols is multi-GB —
+    executor OOM); bytes are what the executor actually holds.  A
+    limit(sample_rows) would read only the first partitions — on sorted
+    input that systematically under/over-samples wide rows — so sample by
+    fraction instead (one projected pass; the frame under consideration is
+    the dimension side, which every pass scans anyway)."""
     if n_rows == 0:
         return 0
     per_field = [
@@ -322,7 +326,9 @@ def estimated_bytes(df: DataFrame, n_rows: int, sample_rows: int = 2000) -> int:
     row_bytes = per_field[0]
     for e in per_field[1:]:
         row_bytes = row_bytes + e
-    agg = df.limit(sample_rows).agg(
+    frac = min(1.0, (4.0 * sample_rows) / max(n_rows, 1))
+    sampled = df if frac >= 1.0 else df.sample(False, frac, seed=7)
+    agg = sampled.limit(sample_rows * 4).agg(
         F.avg(row_bytes).alias("avg_b")
     ).first()
     avg = float(agg["avg_b"] or 0.0)
