@@ -491,10 +491,15 @@ def cross_token_set_scores(
     def mat(slot: str) -> np.ndarray:
         return _scratch(f"cts_{slot}", size, np.float64).reshape(nl, nr)
 
-    C = mat("C")    # |A ∩ B|
-    C.fill(0.0)
-    CH = mat("CH")  # Σ|t| over A ∩ B
-    CH.fill(0.0)
+    # C/CH (and score below) are SPARSE-write dense-read: only cells with
+    # a token intersection are touched, then the whole matrix is read.
+    # Fresh np.zeros keeps untouched cells on the kernel's shared CoW zero
+    # page — reads cost (almost) nothing — which a recycled scratch buffer
+    # cannot provide (fill(0.0) dirties every page).  Measured: the
+    # scratch version cost ~15-20%% at 8/16 threads; the dense
+    # intermediates below stay in the arena where reuse only helps.
+    C = np.zeros((nl, nr), dtype=np.float64)   # |A ∩ B|
+    CH = np.zeros((nl, nr), dtype=np.float64)  # Σ|t| over A ∩ B
     for t, li in lrows.items():
         rj = rrows.get(t)
         if rj is None:
@@ -503,6 +508,7 @@ def cross_token_set_scores(
         C[ix] += 1.0
         CH[ix] += float(len(t))
 
+    nb_mask = _scratch("cts_mask", size, np.bool_).reshape(nl, nr)
     n_ab = mat("nab")
     np.subtract(na[:, None], C, out=n_ab)
     n_ba = mat("nba")
@@ -511,19 +517,19 @@ def cross_token_set_scores(
     sect_len = mat("sect")          # where(has_sect, (CH + C) - 1.0, 0.0)
     np.add(CH, C, out=sect_len)
     sect_len -= 1.0
-    sect_len[~has_sect] = 0.0
+    np.copyto(sect_len, 0.0, where=np.logical_not(has_sect, out=nb_mask))
     ab_len = mat("ab")              # where(n_ab>0, ((chars_a-CH)+n_ab)-1, 0)
     np.subtract(chars_a[:, None], CH, out=ab_len)
     ab_len += n_ab
     ab_len -= 1.0
-    ab_len[n_ab <= 0] = 0.0
+    np.copyto(ab_len, 0.0, where=np.less_equal(n_ab, 0.0, out=nb_mask))
     ba_len = mat("ba")
     np.subtract(chars_b[None, :], CH, out=ba_len)
     ba_len += n_ba
     ba_len -= 1.0
-    ba_len[n_ba <= 0] = 0.0
+    np.copyto(ba_len, 0.0, where=np.less_equal(n_ba, 0.0, out=nb_mask))
     one = mat("one")                # (sect_len > 0) as float
-    np.copyto(one, sect_len > 0, casting="unsafe")
+    np.copyto(one, np.greater(sect_len, 0.0, out=nb_mask), casting="unsafe")
     with np.errstate(divide="ignore", invalid="ignore"):
         # (1 - (one + x_len) / ((2*sect_len + one) + x_len)) * 100
         num = mat("num")
@@ -553,10 +559,9 @@ def cross_token_set_scores(
         np.minimum(ab_len, ba_len, out=bound)
         bound *= 200.0
         np.divide(bound, lensum, out=bound)
-        bound[lensum <= 0] = 100.0
+        np.copyto(bound, 100.0, where=np.less_equal(lensum, 0.0, out=nb_mask))
 
-    score = mat("score")
-    score.fill(0.0)
+    score = np.zeros((nl, nr), dtype=np.float64)  # sparse-write (see C/CH)
     subset = has_sect & ((n_ab == 0) | (n_ba == 0))
     score[subset] = 100.0
     # decided by the sect branch without LCS
@@ -592,7 +597,8 @@ def cross_token_set_scores(
             np.add(lj_len[:, None], rj_len[None, :], out=full_lensum)
             np.multiply(common, 200.0, out=char_ub)
             np.divide(char_ub, full_lensum, out=char_ub)
-            char_ub[full_lensum <= 0] = 100.0
+            np.copyto(char_ub, 100.0,
+                      where=np.less_equal(full_lensum, 0.0, out=nb_mask))
         retire = (
             undecided & (C == 0) & (char_ub < cutoff)
             & valid_a[:, None] & valid_b[None, :]

@@ -5,8 +5,9 @@ Decode support (zero external deps — stdlib struct/zlib + numpy only):
   real   BMP (24bpp uncompressed), PNG (8-bit gray/RGB/RGBA,
          non-interlaced: zlib inflate + sub/up/average/paeth unfilter),
          JPEG (baseline sequential SOF0: huffman entropy decode +
-         dequantize + 8×8 IDCT, luma plane), WAV (PCM 8/16-bit)
-  stub   progressive JPEG / GIF / FLAC / video — no codecs ship in this
+         dequantize + 8×8 IDCT, luma plane), GIF (87a/89a LZW + palette,
+         incl. interlace; first frame), WAV (PCM 8/16-bit)
+  stub   progressive JPEG / FLAC / video — no codecs ship in this
          container, so these fall back to ``_decode_stub`` (deterministic
          fake derived from the payload bytes, clearly marked) — the
          Spark-side plumbing (schema, mapInPandas batching, feature
@@ -159,6 +160,119 @@ def _decode_png(b: bytes) -> np.ndarray:
     if ch == 1:
         return px[:, :, 0]
     return 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+
+
+# --- GIF (pure python LZW + palette) ---------------------------------------
+
+
+def _gif_lzw(data: bytes, min_code: int, npix: int) -> list[int]:
+    """GIF LZW decompression (variable code width, LSB-first packing)."""
+    clear = 1 << min_code
+    end = clear + 1
+    out: list[int] = []
+    table: list[list[int] | None] = []
+    cs = min_code + 1
+    next_code = end + 1
+
+    def reset():
+        nonlocal table, cs, next_code
+        table = [[i] for i in range(clear)] + [None, None]
+        cs = min_code + 1
+        next_code = end + 1
+
+    reset()
+    acc = 0
+    nbits = 0
+    pos = 0
+    prev: list[int] | None = None
+    while len(out) < npix:
+        while nbits < cs and pos < len(data):
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        if nbits < cs:
+            break
+        code = acc & ((1 << cs) - 1)
+        acc >>= cs
+        nbits -= cs
+        if code == clear:
+            reset()
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < next_code and table[code] is not None:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + [prev[0]]
+        else:
+            raise ValueError("bad GIF LZW code")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table.append(prev + [entry[0]])
+            next_code += 1
+            if next_code == (1 << cs) and cs < 12:
+                cs += 1
+        prev = entry
+    return out[:npix]
+
+
+def _decode_gif(b: bytes) -> np.ndarray:
+    """GIF87a/89a first frame → grayscale float array [h, w]: logical
+    screen parse, global/local color table, LZW decompress, optional
+    de-interlace, palette → luma.  Animated files yield frame 1."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, flags, _bg, _aspect = struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _left, _top, w, h, iflags = struct.unpack_from("<HHHHB", b, pos + 1)
+            pos += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                ct = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(n, 3)
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF image without color table")
+            min_code = b[pos]
+            pos += 1
+            data = bytearray()
+            while b[pos] != 0:
+                ln = b[pos]
+                data += b[pos + 1: pos + 1 + ln]
+                pos += 1 + ln
+            idx = np.array(_gif_lzw(bytes(data), min_code, w * h),
+                           dtype=np.int64)
+            if len(idx) < w * h:
+                raise ValueError("GIF pixel data truncated")
+            img = idx.reshape(h, w)
+            if iflags & 0x40:  # interlaced: 4-pass row shuffle
+                rows = (list(range(0, h, 8)) + list(range(4, h, 8))
+                        + list(range(2, h, 4)) + list(range(1, h, 2)))
+                deinter = np.empty_like(img)
+                deinter[rows] = img
+                img = deinter
+            rgb = ct[np.clip(img, 0, len(ct) - 1)].astype(np.float64)
+            return (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]
+                    + 0.114 * rgb[:, :, 2])
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image")
 
 
 # --- baseline JPEG (pure numpy: huffman entropy decode + 8x8 IDCT) --------
@@ -413,7 +527,7 @@ def _audio_feature(s: np.ndarray) -> np.ndarray:
 
 def _decode_stub(payload: bytes) -> tuple[int, int, np.ndarray]:
     """STUB for formats whose codecs don't ship in this container
-    (progressive JPEG/GIF/FLAC/video): a deterministic fake (width, height, 8-dim
+    (progressive JPEG/FLAC/video): a deterministic fake (width, height, 8-dim
     feature) derived from the payload bytes so the pipeline shape stays
     fully exercisable.  Replace with PIL/ffmpeg in production."""
     h = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8).astype(np.float32)
@@ -438,6 +552,10 @@ def decode_media(payload: bytes) -> tuple[str, int, int, bool, np.ndarray]:
         if payload[:2] == b"\xff\xd8":
             gray = _decode_jpeg(payload)
             return ("image/jpeg", gray.shape[1], gray.shape[0], True,
+                    _image_feature(gray))
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            gray = _decode_gif(payload)
+            return ("image/gif", gray.shape[1], gray.shape[0], True,
                     _image_feature(gray))
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             s, rate, channels = _decode_wav(payload)

@@ -8,8 +8,10 @@ clock with the executor count (4N machines = 4N memory controllers and
 per-chip turbo headroom); a single 32-core box does not — all-core turbo
 and one shared memory controller cap thread-scaling far below what the
 same job does across machines.  Calibration on this host (pure kernel,
-multiprocessing, zero Spark): 4->16 procs scales at ~0.88, 8->32 at ~0.76
-— that gap is the hardware ceiling, not the plan.  4->16 keeps the hi run
+multiprocessing, zero Spark, round 3): 4->16 procs scales at 0.956,
+8->32 at 0.748 — against a measured L1-resident compute ceiling of 0.790
+at 8->32, i.e. the gap is the hardware ceiling, not the plan.  4->16
+keeps the hi run
 under the turbo/bandwidth knee and is therefore the honest single-box
 proxy for multi-executor scaling; run the 8->32 pair for comparison with
 SPARK_GRAFT_SCALE_LO=8 SPARK_GRAFT_SCALE_HI=32.
@@ -26,6 +28,26 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def machine_index(procs: int = 8) -> float:
+    """Instantaneous machine-speed index: the L1-resident compute probe
+    (kernel_calibration._spin) at a fixed width, tasks/sec.  This box's
+    effective per-core speed drifts ±20-30% over hours (shared tenancy /
+    thermal) — measured e.g. 133.8 → 90.5 tasks/s at 8 procs within one
+    day — so each scaling leg records the index it ran under; a pair
+    whose legs saw very different indices is flagged rather than trusted."""
+    import multiprocessing as mp
+    import time
+
+    from kernel_calibration import _spin
+
+    with mp.Pool(procs) as pool:
+        pool.map(_spin, range(procs))
+        t0 = time.perf_counter()
+        pool.map(_spin, range(procs * 4))
+        dt = time.perf_counter() - t0
+    return round(procs * 4 / dt, 1)
 
 
 def run_bench(cpus: int, sf_dir: str) -> dict:
@@ -47,10 +69,14 @@ def main() -> None:
     # identical at both core counts, negligible on a real cluster)
     os.environ.setdefault("SPARK_GRAFT_BENCH_SEARCH", "100000")
     os.environ.setdefault("SPARK_GRAFT_BENCH_REF", "125000")
+    os.environ.setdefault("SPARK_GRAFT_SKIP_FIELD", "1")
     lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "4"))
     hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", str(lo * 4)))
+    idx_lo = machine_index()
     r_lo = run_bench(lo, sf_dir)
+    idx_hi = machine_index()
     r_hi = run_bench(hi, sf_dir)
+    idx_end = machine_index()
     tp_lo = r_lo["value"]
     tp_hi = r_hi["value"]
     eff = (tp_hi / tp_lo) / (hi / lo)
@@ -70,6 +96,11 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
         "waterfall_efficiency": round(wf_eff, 3),
         "target": 0.8,
+        # L1-resident machine-speed index (tasks/s at 8 procs) sampled
+        # before the lo leg, before the hi leg, and at the end — legs that
+        # ran under very different indices make the pair untrustworthy
+        "machine_index": {"before_lo": idx_lo, "before_hi": idx_hi,
+                          "after_hi": idx_end},
         "queries_lo": r_lo["queries"],
         "queries_hi": r_hi["queries"],
     }
@@ -101,16 +132,25 @@ real cluster-sized stages.
 | candidate-pairs/sec (block join + score) | {tp_lo:,.0f} | {tp_hi:,.0f} | {tp_hi / tp_lo:.2f}x | **{eff:.3f}** |
 | full waterfall wall-clock (s) | {r_lo['queries']['er_waterfall']} | {r_hi['queries']['er_waterfall']} | {r_lo['queries']['er_waterfall'] / r_hi['queries']['er_waterfall']:.2f}x | {wf_eff:.3f} |
 
+Machine-speed index (L1-resident probe, tasks/s at 8 procs — this
+sandbox's per-core speed drifts ±20-30% with co-tenancy): before
+local[{lo}] = {idx_lo}, before local[{hi}] = {idx_hi}, after = {idx_end}.
+Legs measured under very different indices should be re-run rather than
+trusted; the efficiency above is only as stable as these three numbers.
+
 Core-pair rationale: the north rule scales EXECUTORS N→4N — on a real
 cluster 4N executors bring 4N memory controllers and per-chip turbo
 headroom, while one 32-core box shares a single memory controller and
-drops all-core turbo as threads rise.  Calibration on this host (pure
-scoring kernel under multiprocessing, zero Spark —
-`scripts/kernel_calibration.py`): 4→16 procs ≈ 0.88 efficiency,
-8→32 ≈ 0.76.  That gap is the single-box hardware ceiling, not the plan,
-so `local[{lo}]` → `local[{hi}]` is the honest proxy for multi-executor
-scaling; any residual gap between kernel calibration and the measured
-pipeline efficiency is harness overhead we own.
+drops all-core turbo as threads rise.  Calibration on this host
+(`scripts/kernel_calibration.py`, round 3): pure scoring kernel under
+multiprocessing (zero Spark) scales 0.956 at 4→16 procs and 0.748 at
+8→32 — against a measured L1-RESIDENT COMPUTE CEILING of 0.790 at 8→32
+(a loop with zero memory traffic and zero allocation; no workload can
+scale better on this box).  The 8→32 gap is therefore ~95% hardware
+frequency/scheduling ceiling, not the plan, so `local[{lo}]` →
+`local[{hi}]` is the honest proxy for multi-executor scaling; any
+residual gap between kernel calibration and the measured pipeline
+efficiency is harness overhead we own.
 
 Pairwise F1 on labeled fixture pairs: **1.000** (512 tp / 0 fp / 0 fn at
 the default scale; `tests/test_pipeline_e2e.py::test_pairwise_f1`,

@@ -399,6 +399,77 @@ def test_jpeg_decoder_roundtrip():
     assert ok is False and mt == "application/octet-stream"
 
 
+def _make_gif(img, interlace: bool = False) -> bytes:
+    """Minimal GIF89a encoder (test-side): 256-gray global palette and
+    'uncompressed' LZW — a CLEAR code before every literal keeps the
+    decoder's dictionary empty so every code is 9 bits.  Exercises the
+    decoder's real variable-width bit reader, clear handling, palette
+    mapping and interlace reorder."""
+    import struct as st
+
+    import numpy as np
+
+    h, w = img.shape
+    out = bytearray(b"GIF89a")
+    out += st.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)  # 256-entry GCT
+    for i in range(256):
+        out += bytes([i, i, i])
+    # a graphic-control extension the decoder must skip
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    out += b"\x2c" + st.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+    out += bytes([8])  # LZW min code size
+    clear, end = 256, 257
+    acc, nb = 0, 0
+    payload = bytearray()
+
+    def put(code):
+        nonlocal acc, nb
+        acc |= code << nb
+        nb += 9
+        while nb >= 8:
+            payload.append(acc & 0xFF)
+            acc >>= 8
+            nb -= 8
+
+    if interlace:
+        order = (list(range(0, h, 8)) + list(range(4, h, 8))
+                 + list(range(2, h, 4)) + list(range(1, h, 2)))
+    else:
+        order = list(range(h))
+    put(clear)
+    for r in order:
+        for v in np.asarray(img[r], dtype=np.uint8):
+            put(int(v))
+            put(clear)
+    put(end)
+    if nb:
+        payload.append(acc & 0xFF)
+    for i in range(0, len(payload), 255):
+        chunk = payload[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_decoder_roundtrip():
+    """GIF decode is REAL: LZW + palette + interlace recover the exact
+    source (identity gray palette → lossless)."""
+    import numpy as np
+
+    img = (np.arange(16)[:, None] * 13 + np.arange(13)[None, :] * 7) % 256
+    for interlace in (False, True):
+        payload = _make_gif(img, interlace=interlace)
+        mt, w, h, ok, feat = multimodal.decode_media(payload)
+        assert (mt, w, h, ok) == ("image/gif", 13, 16, True)
+        gray = multimodal._decode_gif(payload)
+        assert np.allclose(gray, img, atol=1e-9)
+
+    # truncated pixel data must not crash the stage: falls back to stub
+    broken = _make_gif(img)[: 13 * 6 + 768 + 30]
+    mt, _, _, ok, _ = multimodal.decode_media(broken)
+    assert ok is False and mt == "application/octet-stream"
+
+
 def test_decode_media_corrupt_payloads_fall_back():
     """Valid magic bytes + corrupt body (the crawled-corpus norm) must NOT
     raise out of the UDF — they fall back to the stub with decoded=false."""
