@@ -80,6 +80,10 @@ def main() -> None:
     tp_lo = r_lo["value"]
     tp_hi = r_hi["value"]
     eff = (tp_hi / tp_lo) / (hi / lo)
+    # machine-drift-normalized efficiency: divide each leg's throughput by
+    # the machine-speed index it ran under (the drift is multiplicative on
+    # per-core speed, so this cancels co-tenancy/thermal phases)
+    eff_norm = ((tp_hi / idx_hi) / (tp_lo / idx_lo)) / (hi / lo)
     wf_eff = (
         (r_lo["queries"]["er_waterfall"] / r_hi["queries"]["er_waterfall"])
         / (hi / lo)
@@ -101,6 +105,7 @@ def main() -> None:
         # ran under very different indices make the pair untrustworthy
         "machine_index": {"before_lo": idx_lo, "before_hi": idx_hi,
                           "after_hi": idx_end},
+        "scaling_efficiency_normalized": round(eff_norm, 3),
         "queries_lo": r_lo["queries"],
         "queries_hi": r_hi["queries"],
     }
@@ -135,8 +140,10 @@ real cluster-sized stages.
 Machine-speed index (L1-resident probe, tasks/s at 8 procs — this
 sandbox's per-core speed drifts ±20-30% with co-tenancy): before
 local[{lo}] = {idx_lo}, before local[{hi}] = {idx_hi}, after = {idx_end}.
-Legs measured under very different indices should be re-run rather than
-trusted; the efficiency above is only as stable as these three numbers.
+Dividing each leg's throughput by the index it ran under cancels the
+drift (it is multiplicative on per-core speed):
+**drift-normalized efficiency = {eff_norm:.3f}**.  The raw number above
+is only as stable as the three index samples.
 
 Core-pair rationale: the north rule scales EXECUTORS N→4N — on a real
 cluster 4N executors bring 4N memory controllers and per-chip turbo
