@@ -149,9 +149,29 @@ OPERATOR_QUERIES = [
 ]
 
 
+def machine_index(procs: int = 8) -> float:
+    """Instantaneous machine-speed index (L1-resident compute probe,
+    tasks/s at 8 procs): this sandbox's per-core speed drifts ±20-30%
+    with co-tenancy (measured 90.5-133.8 within one day), so every bench
+    JSON records the conditions it ran under.  See
+    scripts/kernel_calibration.py for the probe definition."""
+    import multiprocessing as mp
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from kernel_calibration import _spin
+
+    with mp.Pool(procs) as pool:
+        pool.map(_spin, range(procs))
+        t0 = time.perf_counter()
+        pool.map(_spin, range(procs * 4))
+        dt = time.perf_counter() - t0
+    return round(procs * 4 / dt, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    idx = machine_index()
 
     from address_matcher_spark.plans import pipeline as P
     from address_matcher_spark.plans.driver_queries import QUERIES
@@ -172,14 +192,18 @@ def main() -> None:
     sides = _sides(spark, corpus, cfg)
     pairs = count_candidate_pairs(sides)
     shortlisted, t_score = run_block_score(spark, sides, cfg)
-    queries: dict[str, float] = {"er_block_score": round(t_score, 3)}
-    # scaling_run skips this stage so its artifacts stay comparable with
-    # earlier rounds (the waterfall below is field-free either way)
+    matched, t_wf = run_er_waterfall(spark, sides, cfg)
+    queries: dict[str, float] = {
+        "er_block_score": round(t_score, 3),
+        "er_waterfall": round(t_wf, 3),
+    }
+    # field-pass timing runs AFTER the waterfall so the two headline
+    # stages keep the exact r1/r2 measurement ordering (stage order
+    # affects JIT/GC warm-up on this box); scaling_run skips it entirely
+    # so its artifacts stay comparable across rounds
     if os.environ.get("SPARK_GRAFT_SKIP_FIELD") != "1":
         _, t_field = run_field_pass(spark, sides, cfg)
         queries["er_field_pass"] = round(t_field, 3)
-    matched, t_wf = run_er_waterfall(spark, sides, cfg)
-    queries["er_waterfall"] = round(t_wf, 3)
     for name in OPERATOR_QUERIES:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -192,6 +216,7 @@ def main() -> None:
         "queries": queries,
         "sf": round(sf, 4),
         "cpus": cpus,
+        "machine_index": idx,
         "er_candidate_pairs": pairs,
         "er_shortlisted": shortlisted,
         "er_matched": matched,
