@@ -114,20 +114,12 @@ def field_cross_score(
         out[out == ""] = " "
         return out
 
-    def _uniq_sim(lv: np.ndarray, rv: np.ndarray, fn) -> np.ndarray:
-        """Similarity matrix via the distinct-value grid: kernel calls =
-        uniq_l × uniq_r, then fancy-gather to the full nl × nr matrix."""
-        lc, lu = pd.factorize(lv)
-        rc, ru = pd.factorize(rv)
-        grid = np.empty((len(lu), len(ru)), dtype=np.float64)
-        for i, a in enumerate(lu):
-            for j, b in enumerate(ru):
-                grid[i, j] = fn(a, b)
-        return grid[np.ix_(lc, rc)]
-
     def _lev_sim(a: str, b: str) -> float:
         m = max(len(a), len(b))
         return 0.0 if m == 0 else 1.0 - K.levenshtein(a, b) / m
+
+    def _eq_sim(a: str, b: str) -> float:
+        return 1.0 if a == b else 0.0
 
     def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -138,23 +130,47 @@ def field_cross_score(
         if left.empty or right.empty:
             return empty
         nl, nr = len(left), len(right)
+        # Rank-1 accumulation: a field whose value is CONSTANT on one side
+        # within the group (7 of 9 exact predicted fields are blank
+        # literals; the postcode is near-constant inside a postcode block)
+        # contributes a per-row or per-column VECTOR, added to the matrix
+        # once at the end — only fields that genuinely vary on BOTH sides
+        # pay an nl×nr matrix add.
         total = np.zeros((nl, nr), dtype=np.float64)
+        row_acc = np.zeros(nl, dtype=np.float64)   # right side constant
+        col_acc = np.zeros(nr, dtype=np.float64)   # left side constant
+        const_acc = 0.0
+
+        def accumulate(lv: np.ndarray, rv: np.ndarray, w: float, fn) -> None:
+            nonlocal const_acc, total, row_acc, col_acc
+            lc, lu = pd.factorize(lv)
+            rc, ru = pd.factorize(rv)
+            if len(lu) == 1 and len(ru) == 1:
+                const_acc += w * fn(lu[0], ru[0])
+                return
+            grid = np.empty((len(lu), len(ru)), dtype=np.float64)
+            for i, a in enumerate(lu):
+                for j, b in enumerate(ru):
+                    grid[i, j] = fn(a, b)
+            if len(lu) == 1:
+                col_acc += w * grid[0][rc]
+            elif len(ru) == 1:
+                row_acc += w * grid[:, 0][lc]
+            else:
+                total += w * grid[np.ix_(lc, rc)]
+
         for c in exact_cols:
-            lv = _lower(left[f"p_{c}"])
-            rv = _lower(right[c])
-            codes = pd.factorize(np.concatenate([lv, rv]))[0]
-            eq = codes[:nl, None] == codes[nl:][None, :]
-            total += WEIGHTS[c] * eq
+            accumulate(_lower(left[f"p_{c}"]), _lower(right[c]),
+                       WEIGHTS[c], _eq_sim)
         for c in text_cols:
-            total += WEIGHTS[c] * _uniq_sim(
-                _txt(left[f"p_{c}"]), _txt(right[c]),
-                K.jaro_winkler_similarity,
-            )
+            accumulate(_txt(left[f"p_{c}"]), _txt(right[c]),
+                       WEIGHTS[c], K.jaro_winkler_similarity)
         for c in lev_cols:
-            total += WEIGHTS[c] * _uniq_sim(
-                _txt(left[f"p_{c}"]), _txt(right[REF_COL.get(c, c)]),
-                _lev_sim,
-            )
+            accumulate(_txt(left[f"p_{c}"]), _txt(right[REF_COL.get(c, c)]),
+                       WEIGHTS[c], _lev_sim)
+        total += row_acc[:, None]
+        total += col_acc[None, :]
+        total += const_acc
         pct = np.round(100.0 * total / WEIGHT_SUM, 1)
         mx = pct.max(axis=1)
         il, jr = np.nonzero(pct == mx[:, None])
