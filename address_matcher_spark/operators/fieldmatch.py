@@ -65,7 +65,11 @@ def predict_lpi_fields(search_std: DataFrame) -> DataFrame:
         .withColumn("p_PaoEndSuffix", blank)
         .withColumn("p_Street", F.lower(F.col("street_key")))
         .withColumn("p_PostTown", blank)
-        .withColumn("p_Postcode", F.lower(F.regexp_replace(F.col("postcode"), r"\s+", "")))
+        # as-written (spaces kept): the reference's recordlinkage pass
+        # levenshteins the RAW field strings against the LPI Postcode,
+        # which carries its space (tools/recordlinkage_funcs.py:84-96) —
+        # despacing one side would tax every score by the space edit
+        .withColumn("p_Postcode", F.lower(F.trim(F.coalesce(F.col("postcode"), F.lit("")))))
     )
 
 

@@ -7,7 +7,9 @@ Flow per EP1 (SURVEY §3):
   both → minimal + full standardisation (one DataFrame each, reused by all
   passes — the reference's four standing datasets, tools/matcher_funcs.py:752-772)
   waterfall: fuzzy(min, postcode) → fuzzy(min, street) → fuzzy(full,
-  postcode) → fuzzy(full, street) → fieldwise(min) → fieldwise(full),
+  postcode) → fuzzy(full, street) → fieldwise(min, postcode) →
+  fieldwise(min, street) → fieldwise(full, postcode) →
+  fieldwise(full, street),
   each pass attempting only records the previous passes failed (anti-join
   F1, tools/matcher_funcs.py:83-109), combined with the W2 window dedup.
   matched pairs → connected components → clusters.
@@ -404,9 +406,23 @@ def run_waterfall(
         ("fuzzy_full_st", lambda s, n: fuzzy_pass(s, ref_full, "Street", cfg, "fuzzy_full_st", bc_ref, n), search_full),
     ]
     if cfg.run_field_passes:
+        # The reference's NN stage runs a Postcode-blocked score_based_match
+        # then a Street-blocked one at EACH standardisation level
+        # (tools/matcher_funcs.py:1425-1462), the street pass with the
+        # raised 99.5 cutoff (tools/recordlinkage_funcs.py:264-267 via
+        # score_cut_off_street — fieldmatch.field_pass selects it from
+        # blocker="Street") and D3's digit-free-never-matches-on-street
+        # rule (verify.add_decisions).  The reference's fall-back-to-the-
+        # postcode-result-when-street-finds-nothing behaviour
+        # (tools/matcher_funcs.py:1455-1462) is structural here: each pass
+        # only attempts the previous passes' residue and combine_passes
+        # keeps the earliest pass's row per record, so a record the street
+        # pass can't improve retains its postcode-pass row untouched.
         plan += [
             ("field_min_pc", lambda s, n: field_pass(s, ref_min, "Postcode", cfg, "field_min_pc"), search_min),
+            ("field_min_st", lambda s, n: field_pass(s, ref_min, "Street", cfg, "field_min_st"), search_min),
             ("field_full_pc", lambda s, n: field_pass(s, ref_full, "Postcode", cfg, "field_full_pc"), search_full),
+            ("field_full_st", lambda s, n: field_pass(s, ref_full, "Street", cfg, "field_full_st"), search_full),
         ]
 
     # early-exit gate (X2, ref tools/matcher_funcs.py:1013-1017): the

@@ -122,6 +122,63 @@ def test_matched_uprn_carried(results):
     assert m["fulladdress"].notna().all()
 
 
+def test_street_field_pass_rescues_broken_postcode(spark):
+    """O3 street-blocked field passes (ref tools/matcher_funcs.py:1425-1462):
+    a record whose postcode is typo'd in the LAST TWO characters leaves
+    every postcode block empty, and whose town is garbled enough that
+    token_set_ratio < 85 fails all fuzzy passes (postcode- AND
+    street-blocked) — only the Street-blocked FIELD pass can match it:
+    the structured fields agree except the postcode's 1-char edit on a
+    7-char postcode, scoring 100·(14.6 − 0.5/7)/14.6 ≈ 99.51, which
+    clears the raised street cutoff (99.5,
+    tools/recordlinkage_funcs.py:264-267) while close_postcode_match
+    (drops the last 2 chars) still holds.  A 6-pass plan without
+    field_min_st/field_full_st leaves this record unmatched."""
+    ref = spark.createDataFrame([
+        dict(
+            ref_id=1, UPRN=9001,
+            Organisation="", SaoText="", SaoStartNumber="",
+            SaoStartSuffix="", SaoEndNumber="", SaoEndSuffix="",
+            PaoText="", PaoStartNumber="12", PaoStartSuffix="",
+            PaoEndNumber="", PaoEndSuffix="",
+            Street="OAK ROAD", PostTown="WIMBLEDON", Postcode="SW19 7QD",
+        ),
+        dict(
+            ref_id=2, UPRN=9002,
+            Organisation="", SaoText="", SaoStartNumber="",
+            SaoStartSuffix="", SaoEndNumber="", SaoEndSuffix="",
+            PaoText="", PaoStartNumber="7", PaoStartSuffix="",
+            PaoEndNumber="", PaoEndSuffix="",
+            Street="ELM STREET", PostTown="CROYDON", Postcode="CR2 6XH",
+        ),
+    ])
+    search = spark.createDataFrame([
+        # postcode SW19 7QX vs ref SW19 7QD: blocks differ, close match holds
+        dict(record_id=0, url="https://x.test/broken-pc",
+             address_line1="12 OAK ROAD", address_line2="",
+             town="XYZZYQWERTYTOWN", postcode="SW19 7QX"),
+        # control: clean record, matched by pass 1
+        dict(record_id=1, url="https://x.test/clean",
+             address_line1="7 ELM STREET", address_line2="",
+             town="CROYDON", postcode="CR2 6XH"),
+    ])
+    cfg = P.MatchConfig()
+    s = P.prepare_search(search, cfg)
+    r = P.prepare_reference(ref)
+    res = P.run_waterfall(
+        P.standardise_search(s, False), P.standardise_search(s, True),
+        P.standardise_reference(r, False), P.standardise_reference(r, True),
+        cfg,
+    ).toPandas().set_index("url")
+
+    clean = res.loc["https://x.test/clean"]
+    assert clean["full_match"] and clean["match_method"] == "fuzzy_min_pc"
+    broken = res.loc["https://x.test/broken-pc"]
+    assert broken["full_match"], broken.to_dict()
+    assert broken["match_method"] == "field_min_st", broken["match_method"]
+    assert broken["UPRN"] == 9001
+
+
 def test_early_exit_after_full_pass1(spark, monkeypatch):
     """X2 early-exit gate (ref tools/matcher_funcs.py:1013-1017): a corpus
     fully matched by pass 1 must run exactly ONE fuzzy pass and zero field
