@@ -667,3 +667,272 @@ def token_set_ratio_batch(left, right, cutoff: float | None = None) -> np.ndarra
 
 def jaro_winkler_batch(left, right) -> np.ndarray:
     return _batch_apply(left, right, jaro_winkler_similarity)
+
+
+_ALL64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _jw_encode(strs: list[str], with_tables: bool):
+    """Encode unique latin-1 strings (≤64 chars) once: per-string uint8
+    code rows, plus (for the right side) 256-entry position-bitmask
+    tables for the PM gather."""
+    maxl = max((len(s) for s in strs), default=1) or 1
+    codes = np.zeros((len(strs), maxl), dtype=np.uint8)
+    tables = np.zeros((len(strs), 256), dtype=np.uint64) if with_tables else None
+    for u, s in enumerate(strs):
+        if not s:
+            continue
+        codes[u, : len(s)] = np.frombuffer(s.encode("latin-1"), dtype=np.uint8)
+        if with_tables:
+            acc = [0] * 256
+            for pos, ch in enumerate(s):
+                acc[ord(ch)] |= 1 << pos
+            nz = [c for c in range(256) if acc[c]]
+            tables[u, nz] = [acc[c] for c in nz]
+    return codes, tables
+
+
+def _jw_core(
+    a_ids: np.ndarray,
+    b_ids: np.ndarray,
+    la: np.ndarray,
+    lb: np.ndarray,
+    codes_a: np.ndarray,
+    codes_b: np.ndarray,
+    tables_b: np.ndarray,
+) -> np.ndarray:
+    """Lockstep Jaro-Winkler over pairs (a_ids[k], b_ids[k]) that MUST be
+    pre-sorted by la descending, with all strings latin-1 and ≤ 64 chars
+    (one uint64 word holds a side's position set).  Returns jw per pair,
+    bit-exact with jaro_winkler_similarity (same integer match/
+    transposition counts by construction, same FP op order).
+
+    Phase A (matching) walks s1 positions i in lockstep: per pair the
+    candidates are PM[s1[i]] & avail & window(i), and the GREEDY lowest
+    one (cand & -cand) is claimed — the scalar loop's
+    first-free-j-in-window.  The la-desc sort keeps the active set a
+    shrinking prefix.
+
+    Phase B (transpositions) peels the lowest set bit off both matched
+    masks in lockstep — the k-th peeled bits are the k-th matched
+    characters in order, matching the scalar flag-walk; pairs re-sort by
+    match count so this loop's active set is a prefix too."""
+    n = len(a_ids)
+    maxla = codes_a.shape[1]
+    maxlb = codes_b.shape[1]
+    flat_tables_b = tables_b.reshape(-1)
+    flat_codes_a = codes_a.reshape(-1)
+    flat_codes_b = codes_b.reshape(-1)
+    codes_a_t = np.ascontiguousarray(codes_a[a_ids].T)  # (maxla, n)
+    base_b = b_ids * 256
+
+    srange = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+    avail = np.where(
+        lb >= 64, _ALL64,
+        (np.uint64(1) << np.minimum(lb, 63).astype(np.uint64)) - np.uint64(1),
+    )
+    m1 = np.zeros(n, dtype=np.uint64)
+    m2 = np.zeros(n, dtype=np.uint64)
+    mcount = np.zeros(n, dtype=np.int64)
+    neg_la = -la  # ascending; active pairs (la > i) form a prefix
+    one64 = np.uint64(1)
+    n_prev = n
+    for i in range(int(la[0]) if n else 0):
+        n_act = int(np.searchsorted(neg_la, -i, side="left"))
+        if n_act == 0:
+            break
+        if n_act < n_prev:
+            n_prev = n_act
+        sl = slice(0, n_act)
+        pm = flat_tables_b[base_b[sl] + codes_a_t[i, sl]]
+        lo = np.maximum(i - srange[sl], 0)
+        hi = np.minimum(lb[sl], i + srange[sl] + 1)
+        mask_hi = (one64 << np.minimum(hi, 63).astype(np.uint64)) - one64
+        mask_hi = np.where(hi >= 64, _ALL64, mask_hi)
+        mask_lo = (one64 << lo.astype(np.uint64)) - one64
+        cand = pm & avail[sl] & mask_hi & ~mask_lo
+        jbit = cand & (~cand + one64)
+        found = cand != 0
+        avail[sl] ^= jbit
+        m2[sl] |= jbit
+        m1[sl] |= found.astype(np.uint64) << np.uint64(i)
+        mcount[sl] += found
+
+    # Phase B active set is governed by mcount, not la — re-sort so it
+    # stays a prefix (total element-ops Σ mcount instead of n·max(mcount))
+    perm = np.argsort(-mcount, kind="stable")
+    a_ids_p = a_ids[perm]
+    b_ids_p = b_ids[perm]
+    mc_p = mcount[perm]
+    t = np.zeros(n, dtype=np.int64)
+    mm1 = m1[perm]
+    mm2 = m2[perm]
+    neg_mc = -mc_p
+    gather_a = a_ids_p * maxla
+    gather_b = b_ids_p * maxlb
+    it = 0
+    with np.errstate(divide="ignore"):
+        while True:
+            n_act = int(np.searchsorted(neg_mc, -it, side="left"))
+            if n_act == 0:
+                break
+            sl = slice(0, n_act)
+            bit1 = mm1[sl] & (~mm1[sl] + one64)
+            bit2 = mm2[sl] & (~mm2[sl] + one64)
+            mm1[sl] ^= bit1
+            mm2[sl] ^= bit2
+            pos1 = np.log2(bit1.astype(np.float64)).astype(np.int64)
+            pos2 = np.log2(bit2.astype(np.float64)).astype(np.int64)
+            ch1 = flat_codes_a[gather_a[sl] + pos1]
+            ch2 = flat_codes_b[gather_b[sl] + pos2]
+            t[sl] += ch1 != ch2
+            it += 1
+
+    m = mc_p.astype(np.float64)
+    half_t = (t // 2).astype(np.float64)
+    laf = la[perm].astype(np.float64)
+    lbf = lb[perm].astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # same FP op order as the scalar: (m/l1 + m/l2 + (m - t2)/m) / 3
+        jaro = (m / laf + m / lbf + (m - half_t) / m) / 3.0
+    jaro = np.where(mc_p > 0, jaro, 0.0)
+
+    prefix = np.zeros(n, dtype=np.int64)
+    run = np.ones(n, dtype=bool)
+    la_p = la[perm]
+    lb_p = lb[perm]
+    for p in range(min(4, maxla, maxlb)):
+        # zero-padded codes beyond a string's length must not count as
+        # equal — gate on p < len on BOTH sides (the scalar zips,
+        # stopping at the shorter string)
+        run = run & (p < la_p) & (p < lb_p) & (
+            flat_codes_a[gather_a + p] == flat_codes_b[gather_b + p]
+        )
+        prefix += run
+    jw_p = np.where(jaro > 0.7, jaro + 0.1 * prefix * (1.0 - jaro), jaro)
+    jw = np.empty(n, dtype=np.float64)
+    jw[perm] = jw_p
+    return jw
+
+
+def _jw_laneable(s: str) -> bool:
+    if len(s) > 64:
+        return False
+    try:
+        s.encode("latin-1")
+    except UnicodeEncodeError:
+        return False
+    return True
+
+
+def jaro_winkler_grid(lu, ru) -> np.ndarray:
+    """Jaro-Winkler over the FULL cross grid of two unique-value lists —
+    the field-pass inner kernel (operators/fieldmatch.py accumulate).
+    Returns a (len(lu), len(ru)) float64 matrix, bit-exact with the
+    scalar jaro_winkler_similarity per cell.
+
+    Built for factorized grids: strings encode once per UNIQUE value
+    (not per pair), pair ids are repeat/tile index arithmetic, and the
+    row-major layout sorted by left length IS the la-desc order the
+    lockstep core needs — no per-pair grouping or argsort.  Cells with
+    an empty side are 0 by definition; rows/columns holding >64-char or
+    non-latin-1 strings fall back to the scalar kernel cell-wise."""
+    nl, nr = len(lu), len(ru)
+    a_norm = ["" if v is None else str(v) for v in lu]
+    b_norm = ["" if v is None else str(v) for v in ru]
+    out = np.zeros((nl, nr), dtype=np.float64)
+    if nl == 0 or nr == 0:
+        return out
+    if nl * nr < 64:
+        for i, a in enumerate(a_norm):
+            for j, b in enumerate(b_norm):
+                if a and b:
+                    out[i, j] = jaro_winkler_similarity(a, b)
+        return out
+    rows_ok = [i for i, a in enumerate(a_norm) if a and _jw_laneable(a)]
+    cols_ok = [j for j, b in enumerate(b_norm) if b and _jw_laneable(b)]
+    rows_bad = [i for i, a in enumerate(a_norm) if a and not _jw_laneable(a)]
+    cols_bad = [j for j, b in enumerate(b_norm) if b and not _jw_laneable(b)]
+    for i in rows_bad:  # scalar fallback: bad row × every non-empty col
+        a = a_norm[i]
+        for j, b in enumerate(b_norm):
+            if b:
+                out[i, j] = jaro_winkler_similarity(a, b)
+    for j in cols_bad:  # bad col × remaining good rows
+        b = b_norm[j]
+        for i in rows_ok:
+            out[i, j] = jaro_winkler_similarity(a_norm[i], b)
+    if not rows_ok or not cols_ok:
+        return out
+    a_strs = [a_norm[i] for i in rows_ok]
+    b_strs = [b_norm[j] for j in cols_ok]
+    la_u = np.array([len(s) for s in a_strs], dtype=np.int64)
+    lb_u = np.array([len(s) for s in b_strs], dtype=np.int64)
+    row_order = np.argsort(-la_u, kind="stable")
+    codes_a, _ = _jw_encode([a_strs[int(r)] for r in row_order], False)
+    codes_b, tables_b = _jw_encode(b_strs, True)
+    n_r, n_c = len(rows_ok), len(cols_ok)
+    a_ids = np.repeat(np.arange(n_r, dtype=np.int64), n_c)
+    b_ids = np.tile(np.arange(n_c, dtype=np.int64), n_r)
+    la = np.repeat(la_u[row_order], n_c)
+    lb = np.tile(lb_u, n_r)
+    jw = _jw_core(a_ids, b_ids, la, lb, codes_a, codes_b, tables_b)
+    rows_arr = np.array(rows_ok, dtype=np.int64)[row_order]
+    cols_arr = np.array(cols_ok, dtype=np.int64)
+    flat_idx = (rows_arr[:, None] * nr + cols_arr[None, :]).ravel()
+    out.ravel()[flat_idx] = jw
+    return out
+
+
+def jaro_winkler_lockstep(left, right) -> np.ndarray:
+    """Vectorized Jaro-Winkler over ALIGNED string pairs: bit-exact with
+    jaro_winkler_similarity (parity-pinned in tests/test_kernels.py).
+    Pairs with latin-1 strings ≤ 64 chars run in the uint64 lockstep
+    lane (_jw_core); longer/non-latin-1 pairs fall back to the scalar.
+    Small batches (< 32 pairs) skip lane setup entirely."""
+    n = len(left)
+    out = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return out
+    a_norm = ["" if v is None else str(v) for v in left]
+    b_norm = ["" if v is None else str(v) for v in right]
+    if n < 32:
+        for k in range(n):
+            out[k] = jaro_winkler_similarity(a_norm[k], b_norm[k])
+        return out
+    lane: list[int] = []
+    for k in range(n):
+        a = a_norm[k]
+        b = b_norm[k]
+        if not a or not b:
+            continue  # jaro 0, no boost
+        if a == b:
+            out[k] = 1.0  # m=len, t=0 → jaro 1.0; boost adds 0.0
+            continue
+        if not _jw_laneable(a) or not _jw_laneable(b):
+            out[k] = jaro_winkler_similarity(a, b)
+            continue
+        lane.append(k)
+    if not lane:
+        return out
+    a_groups: dict[str, int] = {}
+    b_groups: dict[str, int] = {}
+    nlane = len(lane)
+    a_ids = np.empty(nlane, dtype=np.int64)
+    b_ids = np.empty(nlane, dtype=np.int64)
+    la = np.empty(nlane, dtype=np.int64)
+    lb = np.empty(nlane, dtype=np.int64)
+    for row, k in enumerate(lane):
+        a = a_norm[k]
+        b = b_norm[k]
+        a_ids[row] = a_groups.setdefault(a, len(a_groups))
+        b_ids[row] = b_groups.setdefault(b, len(b_groups))
+        la[row] = len(a)
+        lb[row] = len(b)
+    order = np.argsort(-la, kind="stable")
+    codes_a, _ = _jw_encode(list(a_groups), False)
+    codes_b, tables_b = _jw_encode(list(b_groups), True)
+    jw = _jw_core(a_ids[order], b_ids[order], la[order], lb[order],
+                  codes_a, codes_b, tables_b)
+    out[np.array(lane, dtype=np.int64)[order]] = jw
+    return out

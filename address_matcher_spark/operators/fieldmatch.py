@@ -94,8 +94,17 @@ def field_cross_score(
     restores exact global-ties semantics.
 
     Search side columns: record_id + p_<field>; ref side: ref_id + fields
-    (Postcode as postcode_ref).  Weighted-sum order matches the previous
-    column-expression path (EXACT → TEXT → LEV) for float parity."""
+    (Postcode as postcode_ref).  Fields are visited in the same EXACT →
+    TEXT → LEV order as the previous column-expression path; parity is
+    near-exact but not guaranteed bit-exact when any field is
+    group-constant, because the rank-1 accumulation adds side-constant
+    contributions (row_acc/col_acc/const_acc) after all varying fields.
+
+    Rounding is np.round (IEEE half-even) — DELIBERATE: the reference's
+    score_perc comes from pandas round(1) (tools/recordlinkage_funcs.py:
+    102-104), which is also half-even, so a score landing exactly on a
+    .x5 boundary ties to even on both sides.  (Spark's F.round is
+    HALF_UP and would diverge there.)"""
     import numpy as np
     import pandas as pd
 
@@ -145,17 +154,21 @@ def field_cross_score(
         col_acc = np.zeros(nr, dtype=np.float64)   # left side constant
         const_acc = 0.0
 
-        def accumulate(lv: np.ndarray, rv: np.ndarray, w: float, fn) -> None:
+        def accumulate(lv: np.ndarray, rv: np.ndarray, w: float, fn,
+                       grid_fn=None) -> None:
             nonlocal const_acc, total, row_acc, col_acc
             lc, lu = pd.factorize(lv)
             rc, ru = pd.factorize(rv)
             if len(lu) == 1 and len(ru) == 1:
                 const_acc += w * fn(lu[0], ru[0])
                 return
-            grid = np.empty((len(lu), len(ru)), dtype=np.float64)
-            for i, a in enumerate(lu):
-                for j, b in enumerate(ru):
-                    grid[i, j] = fn(a, b)
+            if grid_fn is not None:
+                grid = grid_fn(lu, ru)
+            else:
+                grid = np.empty((len(lu), len(ru)), dtype=np.float64)
+                for i, a in enumerate(lu):
+                    for j, b in enumerate(ru):
+                        grid[i, j] = fn(a, b)
             if len(lu) == 1:
                 col_acc += w * grid[0][rc]
             elif len(ru) == 1:
@@ -163,13 +176,24 @@ def field_cross_score(
             else:
                 total += w * grid[np.ix_(lc, rc)]
 
+        def _eq_grid(lu, ru) -> np.ndarray:
+            return (lu[:, None] == ru[None, :]).astype(np.float64)
+
         for c in exact_cols:
             accumulate(_lower(left[f"p_{c}"]), _lower(right[c]),
-                       WEIGHTS[c], _eq_sim)
+                       WEIGHTS[c], _eq_sim, _eq_grid)
         for c in text_cols:
+            # distinct-pair grids on both-side-varying fields (PaoText,
+            # Street in big blocks) are the hot loop — the lockstep JW
+            # batch kernel (bit-exact with the scalar) runs them at
+            # ~1.3M pairs/s vs ~100k/s interpreted
             accumulate(_txt(left[f"p_{c}"]), _txt(right[c]),
-                       WEIGHTS[c], K.jaro_winkler_similarity)
+                       WEIGHTS[c], K.jaro_winkler_similarity,
+                       K.jaro_winkler_grid)
         for c in lev_cols:
+            # postcode is block-constant inside a postcode block (rank-1
+            # path) and low-cardinality inside a street block — the
+            # scalar grid stays off the hot path
             accumulate(_txt(left[f"p_{c}"]), _txt(right[REF_COL.get(c, c)]),
                        WEIGHTS[c], _lev_sim)
         total += row_acc[:, None]

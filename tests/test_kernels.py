@@ -136,3 +136,69 @@ def test_batch_matches_scalar():
     got = K.jaro_winkler_batch(left, right)
     want = np.array([K.jaro_winkler_similarity(a, b) for a, b in zip(left, right)])
     np.testing.assert_allclose(got, want)
+
+
+def test_jw_lockstep_matches_scalar_bit_exact():
+    """The uint64 lockstep Jaro-Winkler must be BIT-exact with the scalar
+    (same integer match/transposition counts, same FP op order) across
+    random pairs plus the lane-boundary adversarial set."""
+    import random
+    import string
+
+    rng = random.Random(42)
+    alpha = string.ascii_lowercase[:6] + " 0123456789"
+
+    def rand_str(maxlen):
+        return "".join(rng.choice(alpha) for _ in range(rng.randint(0, maxlen)))
+
+    cases = [(rand_str(20), rand_str(20)) for _ in range(2000)]
+    cases += [
+        ("", ""), ("a", ""), ("", "b"), ("abc", "abc"),
+        ("martha", "marhta"), ("dixon", "dicksonx"), ("dwayne", "duane"),
+        ("a" * 63, "a" * 63 + "b"), ("a" * 64, "b" * 64),  # word-edge lens
+        ("x" * 65, "x" * 64),                              # scalar fallback
+        ("ab" * 32, "ba" * 32),                            # transposition-heavy
+        ("café", "cafe"), ("日本", "日本語"),                # non-ascii fallback
+        ("sw19 7qx", "sw19 7qd"), ("oak road", "oak rd"),
+    ]
+    for L in (60, 61, 62, 63, 64):
+        cases.append(("q" * L, "q" * (L - 1) + "z"))
+    got = K.jaro_winkler_lockstep([c[0] for c in cases], [c[1] for c in cases])
+    want = np.array([K.jaro_winkler_similarity(a, b) for a, b in cases])
+    assert (got == want).all()  # == , not approx: bit-exactness is the contract
+
+
+def test_jw_grid_matches_scalar_bit_exact():
+    """jaro_winkler_grid (the field-pass inner kernel) over a grid mixing
+    normal, empty, over-long and non-latin-1 values."""
+    import random
+    import string
+
+    rng = random.Random(7)
+    alpha = string.ascii_lowercase + " "
+
+    def rand_str(maxlen):
+        return "".join(rng.choice(alpha) for _ in range(rng.randint(1, maxlen)))
+
+    lu = [rand_str(25) for _ in range(40)] + ["", "z" * 70, "naïve café"]
+    ru = [rand_str(25) for _ in range(35)] + ["", "y" * 90, "日本"]
+    got = K.jaro_winkler_grid(lu, ru)
+    want = np.array([
+        [K.jaro_winkler_similarity(a, b) if a and b else 0.0 for b in ru]
+        for a in lu
+    ])
+    assert got.shape == want.shape
+    assert (got == want).all()
+
+
+@given(
+    st.lists(st.text(alphabet="ab ", max_size=8), min_size=1, max_size=8),
+    st.lists(st.text(alphabet="ab ", max_size=8), min_size=1, max_size=8),
+)
+@settings(max_examples=50, deadline=None)
+def test_jw_grid_property(lu, ru):
+    got = K.jaro_winkler_grid(lu, ru)
+    for i, a in enumerate(lu):
+        for j, b in enumerate(ru):
+            want = K.jaro_winkler_similarity(a, b) if a and b else 0.0
+            assert got[i, j] == want, (a, b)
