@@ -35,12 +35,14 @@ def postcode_area(col: Column) -> Column:
     return x.substr(F.lit(1), F.greatest(F.length(x) - 2, F.lit(0)))
 
 
-def joined_address_length(search: DataFrame, address_cols) -> Column:
+def joined_address_length(address_cols) -> Column:
     """The reference's ``address_cols_joined`` length check
     (tools/matcher_funcs.py:561-565): fillna('') each address column,
-    concatenate WITHOUT separator, strip, measure."""
+    concatenate WITHOUT separator, strip, measure.  Stripping uses a
+    \\s regexp (pandas .strip() removes ALL whitespace; F.trim only
+    ASCII spaces — an address of tabs/newlines must count as empty)."""
     parts = [F.coalesce(F.col(c).cast("string"), F.lit("")) for c in address_cols]
-    return F.length(F.trim(F.concat(*parts)))
+    return F.length(F.regexp_replace(F.concat(*parts), r"^\s+|\s+$", ""))
 
 
 def label_area_exclusions(
@@ -68,7 +70,7 @@ def label_area_exclusions(
     )
     if address_cols:
         label = F.when(
-            joined_address_length(search, address_cols) == 0, F.lit(EXCL_LEN0)
+            joined_address_length(address_cols) == 0, F.lit(EXCL_LEN0)
         ).otherwise(label)
     out = (
         search.withColumn("__area", postcode_area(F.col(search_pc)))

@@ -488,6 +488,8 @@ def _decode_wav(b: bytes) -> tuple[np.ndarray, int, int]:
         elif cid == b"data":
             data = body
         pos += 8 + ln + (ln & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
     audio_fmt, channels, rate, _, _, bits = fmt
     if audio_fmt != 1 or bits not in (8, 16):
         raise NotImplementedError(f"WAV fmt={audio_fmt} bits={bits}")
@@ -560,12 +562,16 @@ def decode_media(payload: bytes) -> tuple[str, int, int, bool, np.ndarray]:
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             s, rate, channels = _decode_wav(payload)
             return ("audio/wav", len(s), channels, True, _audio_feature(s))
-    except Exception:
+    except (ValueError, NotImplementedError, struct.error, zlib.error,
+            IndexError, KeyError, EOFError):
         # A crawled corpus always contains payloads with valid magic bytes
         # but corrupt bodies (truncated IDAT, bad struct offsets, zlib
         # garbage).  One bad blob must not fail the Spark stage: anything
         # the decoders reject falls back to the deterministic stub with
-        # decoded=false, which downstream filters can drop.
+        # decoded=false, which downstream filters can drop.  The catch is
+        # limited to the corrupt-payload error types the decoders raise —
+        # a genuine decoder regression (TypeError, AttributeError, ...)
+        # surfaces instead of silently stubbing every payload.
         pass
     w, hh, f = _decode_stub(payload)
     return ("application/octet-stream", w, hh, False, f)

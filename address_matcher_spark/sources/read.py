@@ -35,11 +35,21 @@ def _unzip_csv(path: str) -> str:
     (stdlib zipfile, local paths only — zip is non-splittable regardless,
     so it is inherently a small-upload format, never a 100 TB input) and
     the inner csv is what Spark scans."""
+    import atexit
+    import shutil
     import tempfile
     import zipfile
 
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            f".csv.zip inputs are extracted driver-side with stdlib zipfile "
+            f"and must be on the local filesystem; got non-local URI {path!r} "
+            f"— download it first or repack as .csv.gz (splittable-codec "
+            f"path Spark reads natively)"
+        )
     tmp = tempfile.mkdtemp(prefix="amspark_zip_")
-    with zipfile.ZipFile(path) as zf:
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    with zipfile.ZipFile(path.removeprefix("file://")) as zf:
         inner = [n for n in zf.namelist() if n.lower().endswith(".csv")]
         if not inner:
             raise ValueError(f"no .csv member inside zip archive: {path}")
