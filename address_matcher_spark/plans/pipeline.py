@@ -151,17 +151,29 @@ def prepare_sides(
     ref_raw: DataFrame,
     cfg: MatchConfig,
     prior_results: DataFrame | None = None,
+    cofilter_ref: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Raw sides → prepared sides with the reference's pre-match filters:
     F3 postcode-area co-filter (both directions) and F4 previously-matched
     exclusion when a prior results table is supplied.  Both run on the RAW
     frames so the heavy standardisation projections only touch surviving
-    rows (the semi-joins sit below the regex layer in the plan)."""
+    rows (the semi-joins sit below the regex layer in the plan).
+
+    cofilter_ref=False keeps the FULL reference: required when the ref
+    sides are materialised for cross-run reuse (bucketed tables) — the
+    area co-filter depends on the current search corpus, and the ref
+    direction is perf-only (full_match needs close_postcode_match, finer
+    than area equality, so dropping other-area ref rows never changes a
+    result); the per-pass semi-join prefilter prunes at plan time
+    instead."""
     if cfg.area_cofilter:
-        search_raw, ref_raw, _ = cofilter.area_cofilter(
+        search_kept, ref_kept, _ = cofilter.area_cofilter(
             search_raw, ref_raw, cfg.postcode_col, "Postcode",
             address_cols=cfg.address_cols,
         )
+        search_raw = search_kept
+        if cofilter_ref:
+            ref_raw = ref_kept
     if prior_results is not None:
         search_raw, _ = cofilter.exclude_previously_matched(
             search_raw, prior_results
@@ -359,9 +371,15 @@ def run_waterfall(
     cfg: MatchConfig | None = None,
     store: CheckpointStore | None = None,
     sides_materialized: bool = False,
+    ref_materialized: bool = False,
 ) -> DataFrame:
     """O3/O4/O5: the full waterfall.  Returns one row per matched-or-
-    attempted search record (best candidate + decisions + method)."""
+    attempted search record (best candidate + decisions + method).
+
+    ref_materialized=True: the ref sides are already durable — e.g.
+    BUCKETED tables (sources/bucketing.ensure_bucketed_ref), whose scan
+    carries a HashPartitioning that a store.write/localCheckpoint would
+    destroy (every per-pass ref dedup/histogram would shuffle again)."""
     cfg = cfg or MatchConfig()
     # The four standing datasets are reused by every pass
     # (tools/matcher_funcs.py:752-772).  Materialise them AND cut their
@@ -374,13 +392,15 @@ def run_waterfall(
     if store is not None:
         search_min = store.write(search_min, "side_search_min")
         search_full = store.write(search_full, "side_search_full")
-        ref_min = store.write(ref_min, "side_ref_min")
-        ref_full = store.write(ref_full, "side_ref_full")
+        if not ref_materialized:
+            ref_min = store.write(ref_min, "side_ref_min")
+            ref_full = store.write(ref_full, "side_ref_full")
     elif not sides_materialized:
         search_min = search_min.localCheckpoint()
         search_full = search_full.localCheckpoint()
-        ref_min = ref_min.localCheckpoint()
-        ref_full = ref_full.localCheckpoint()
+        if not ref_materialized:
+            ref_min = ref_min.localCheckpoint()
+            ref_full = ref_full.localCheckpoint()
     # broadcast decision measured once in BYTES, not row count (X11): the
     # ref side is dimension-like; broadcast only while the serialized table
     # fits an executor comfortably

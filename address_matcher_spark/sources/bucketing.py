@@ -45,6 +45,53 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def _path_has_success(spark: SparkSession, path: str) -> bool:
+    """True when a previous bucketed write completed at `path` (Hadoop FS
+    API — works for any configured filesystem, not just local)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def ensure_bucketed_ref(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    key: str = "postcode_search",
+    n_buckets: int = 32,
+    path: str | None = None,
+    sort: bool = True,
+) -> DataFrame:
+    """Write-once bucketed materialisation of a standardised reference
+    side (the 100 TB dimension-reuse path, scripts/job_match.py
+    AM_BUCKETED_REF_DIR).
+
+    First run: writes `df` as a bucketed external table at `path`.
+    Later runs (fresh session, in-memory catalog empty): the bucketing
+    METADATA lives in the catalog, not the files, so the table is
+    re-DECLARED over the existing files with CREATE TABLE ... CLUSTERED
+    BY ... LOCATION — data is not rewritten and the scan keeps its
+    exchange-free HashPartitioning.  A bucketed table is already
+    durable, so callers skip the pipeline's checkpoint materialisation
+    for it (run_waterfall(ref_materialized=True))."""
+    if spark.catalog.tableExists(table):
+        return spark.table(table)
+    if path is not None and _path_has_success(spark, path):
+        ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        sorted_clause = f"SORTED BY (`{key}` ASC)" if sort else ""
+        spark.sql(
+            f"CREATE TABLE `{table}` ({ddl}) USING PARQUET "
+            f"CLUSTERED BY (`{key}`) {sorted_clause} "
+            f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+        )
+        return spark.table(table)
+    write_bucketed(df, table, key, n_buckets, path=path, sort=sort)
+    return spark.table(table)
+
+
 def cobucketed_join(
     spark: SparkSession,
     left_table: str,

@@ -11,6 +11,15 @@ and on a cluster).
   AM_PRIOR_DIR    optional parquet of a previous run's matches — rows with
                   full_match are excluded from this run (F4/J11) and their
                   match columns are coalesced into the output (J10)
+  AM_BUCKETED_REF_DIR  opt-in 100 TB dimension-reuse path: the standardised
+                  reference sides are materialised ONCE as tables bucketed
+                  on postcode_search under this dir; this and later runs
+                  plan every per-pass ref-side dedup/histogram/semi-join
+                  with NO exchange on the reference branch (the reference
+                  re-reads its whole extract per run instead,
+                  tools/matcher_funcs.py:620-720)
+  AM_REF_BUCKETS  bucket count for AM_BUCKETED_REF_DIR (default 32; at
+                  100 TB size for a few hundred MB per bucket)
 """
 
 from __future__ import annotations
@@ -62,18 +71,38 @@ def main() -> None:
     prior = spark.read.parquet(prior_dir) if prior_dir else None
 
     t0 = time.perf_counter()
+    bucketed_root = os.environ.get("AM_BUCKETED_REF_DIR")
     search, ref = P.prepare_sides(
         P.search_from_pages(spark.read.parquet(pages_dir)),
         spark.read.parquet(ref_dir),
         cfg,
         prior_results=prior,
+        # a bucketed ref table is reused across runs with different search
+        # corpora — it must not bake in this run's search-area co-filter
+        cofilter_ref=not bucketed_root,
     )
+    ref_min = P.standardise_reference(ref, False)
+    ref_full = P.standardise_reference(ref, True)
+    ref_materialized = False
+    if bucketed_root:
+        from address_matcher_spark.sources.bucketing import ensure_bucketed_ref
+
+        n_buckets = int(os.environ.get("AM_REF_BUCKETS", "32"))
+        ref_min = ensure_bucketed_ref(
+            spark, ref_min, "am_ref_min_b", n_buckets=n_buckets,
+            path=os.path.join(bucketed_root, "ref_min"),
+        )
+        ref_full = ensure_bucketed_ref(
+            spark, ref_full, "am_ref_full_b", n_buckets=n_buckets,
+            path=os.path.join(bucketed_root, "ref_full"),
+        )
+        ref_materialized = True
     results = P.run_waterfall(
         P.standardise_search(search, False),
         P.standardise_search(search, True),
-        P.standardise_reference(ref, False),
-        P.standardise_reference(ref, True),
-        cfg, store=store,
+        ref_min,
+        ref_full,
+        cfg, store=store, ref_materialized=ref_materialized,
     )
     results.write.mode("overwrite").parquet(os.path.join(out_dir, "matches"))
 

@@ -73,3 +73,148 @@ def test_bucket_pruning_on_key_filter(spark, tmp_path):
             "spark.sql.sources.bucketing.autoBucketedScan.enabled", old
         )
         spark.sql("DROP TABLE IF EXISTS t_pruned_b")
+
+
+@pytest.fixture(scope="module")
+def er_sides(spark):
+    """Small standardised sides for the job-shaped bucketing tests."""
+    from address_matcher_spark import datagen
+    from address_matcher_spark.plans import pipeline as P
+
+    fx = datagen.generate(datagen.Scale(n_ref=400, n_search=300))
+    cfg = P.MatchConfig()
+    search = P.prepare_search(
+        P.search_from_pages(spark.createDataFrame(fx["pages"])), cfg
+    )
+    ref = P.prepare_reference(spark.createDataFrame(fx["reference_addresses"]))
+    smin = P.standardise_search(search, False)
+    sfull = P.standardise_search(search, True)
+    # pre-dedup so bucketed/plain runs pick identical dup survivors
+    rmin = P.standardise_reference(ref, False).dropDuplicates(
+        ["postcode_search", "reference_mod_address"]
+    )
+    rfull = P.standardise_reference(ref, True).dropDuplicates(
+        ["postcode_search", "reference_mod_address"]
+    )
+    return {
+        "smin": smin.localCheckpoint(), "sfull": sfull.localCheckpoint(),
+        "rmin": rmin.localCheckpoint(), "rfull": rfull.localCheckpoint(),
+        "cfg": cfg,
+    }
+
+
+def _shuffle_count(df) -> int:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.count("Exchange hashpartitioning")
+
+
+def test_bucketed_ref_blocking_prep_exchange_free(spark, tmp_path, er_sides):
+    """The job's AM_BUCKETED_REF_DIR path: every per-pass ref-side op that
+    keys on the block key — dedup, histogram, semi-join prefilter — must
+    plan with NO shuffle exchange on the reference branch when the ref
+    side is a bucketed table (the 100 TB dimension never crosses the
+    wire; only the search branch's distinct shuffles)."""
+    from address_matcher_spark.operators import blocking
+    from address_matcher_spark.sources import bucketing as BK
+
+    rb = BK.ensure_bucketed_ref(
+        spark, er_sides["rmin"], "t_am_ref_min_prep", n_buckets=8,
+        path=str(tmp_path / "ref_min_prep"),
+    )
+
+    def blocking_prep(r, with_prefilter=True):
+        r2 = (
+            r.filter(F.col("postcode_search") != "")
+            .withColumnRenamed("postcode_search", "__bk")
+            .drop("street_key")
+            .dropDuplicates(["__bk", "reference_mod_address"])
+        )
+        if with_prefilter:
+            s = (
+                er_sides["smin"].filter(F.col("postcode_search") != "")
+                .withColumnRenamed("postcode_search", "__bk")
+            )
+            r2 = blocking.prefilter_ref(r2, s, "__bk")
+        return r2.groupBy("__bk").count()
+
+    # dedup + histogram alone: zero shuffles bucketed, >=1 plain
+    assert _shuffle_count(blocking_prep(rb, False)) == 0
+    assert _shuffle_count(blocking_prep(er_sides["rmin"], False)) >= 1
+    # with the semi-join prefilter: only the search branch may shuffle
+    n_bucketed = _shuffle_count(blocking_prep(rb))
+    n_plain = _shuffle_count(blocking_prep(er_sides["rmin"]))
+    assert n_bucketed <= 1, n_bucketed
+    assert n_plain >= n_bucketed + 1, (n_plain, n_bucketed)
+    plan = blocking_prep(rb)._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+    spark.sql("DROP TABLE IF EXISTS t_am_ref_min_prep")
+
+
+def test_bucketed_ref_waterfall_results_equal(spark, tmp_path, er_sides):
+    """run_waterfall over bucketed ref tables (ref_materialized=True, the
+    job's opt-in path) must produce the same decisions as the plain run."""
+    from address_matcher_spark.plans import pipeline as P
+    from address_matcher_spark.sources import bucketing as BK
+
+    rb_min = BK.ensure_bucketed_ref(
+        spark, er_sides["rmin"], "t_am_ref_min_wf", n_buckets=8,
+        path=str(tmp_path / "ref_min_wf"),
+    )
+    rb_full = BK.ensure_bucketed_ref(
+        spark, er_sides["rfull"], "t_am_ref_full_wf", n_buckets=8,
+        path=str(tmp_path / "ref_full_wf"),
+    )
+    cols = ["record_id", "ref_id", "full_match", "fuzzy_score", "match_method"]
+    plain = {
+        tuple(r) for r in P.run_waterfall(
+            er_sides["smin"], er_sides["sfull"],
+            er_sides["rmin"], er_sides["rfull"], er_sides["cfg"],
+        ).select(*cols).collect()
+    }
+    bucketed = {
+        tuple(r) for r in P.run_waterfall(
+            er_sides["smin"], er_sides["sfull"], rb_min, rb_full,
+            er_sides["cfg"], ref_materialized=True,
+        ).select(*cols).collect()
+    }
+    assert plain == bucketed and len(plain) > 0
+    spark.sql("DROP TABLE IF EXISTS t_am_ref_min_wf")
+    spark.sql("DROP TABLE IF EXISTS t_am_ref_full_wf")
+
+
+def test_bucketed_ref_reregisters_without_rewrite(spark, tmp_path, er_sides):
+    """Cross-run reuse: a fresh session's in-memory catalog has no table
+    metadata, so ensure_bucketed_ref re-DECLARES the table over the
+    existing files (CREATE TABLE ... CLUSTERED BY ... LOCATION) instead
+    of rewriting — simulated here by dropping the external table
+    (metadata only; files stay)."""
+    import os
+
+    path = str(tmp_path / "ref_min_rereg")
+    rb = BK.ensure_bucketed_ref(
+        spark, er_sides["rmin"], "t_am_ref_rereg", n_buckets=8, path=path,
+    )
+    n_rows = rb.count()
+    files_before = {
+        f: os.path.getmtime(os.path.join(path, f))
+        for f in os.listdir(path) if f.endswith(".parquet")
+    }
+    spark.sql("DROP TABLE t_am_ref_rereg")  # external: files survive
+    assert not spark.catalog.tableExists("t_am_ref_rereg")
+    rb2 = BK.ensure_bucketed_ref(
+        spark, er_sides["rmin"], "t_am_ref_rereg", n_buckets=8, path=path,
+    )
+    assert rb2.count() == n_rows
+    files_after = {
+        f: os.path.getmtime(os.path.join(path, f))
+        for f in os.listdir(path) if f.endswith(".parquet")
+    }
+    assert files_before == files_after  # re-registered, not rewritten
+    # and the re-declared table still plans bucketed (no exchange on a
+    # self-join over the bucket key)
+    plan = (
+        rb2.dropDuplicates(["postcode_search", "reference_mod_address"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning" not in plan
+    spark.sql("DROP TABLE IF EXISTS t_am_ref_rereg")
