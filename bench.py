@@ -191,8 +191,25 @@ def main() -> None:
 
     sides = _sides(spark, corpus, cfg)
     pairs = count_candidate_pairs(sides)
-    shortlisted, t_score = run_block_score(spark, sides, cfg)
-    matched, t_wf = run_er_waterfall(spark, sides, cfg)
+    # the two headline stages run REPS times INTERLEAVED (block→waterfall
+    # kept adjacent within a rep — stage order affects JIT/GC warm-up on
+    # this box), with the machine-speed index sampled per rep: the
+    # sandbox's per-core speed drifts ±20-30% with co-tenancy, so a
+    # single run can't distinguish a regression from a slow hour.
+    # Reported per-query value = min over reps; spread recorded.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
+    block_times: list[float] = []
+    wf_times: list[float] = []
+    rep_idx: list[float] = []
+    shortlisted = matched = 0
+    for _ in range(reps):
+        rep_idx.append(machine_index())
+        shortlisted, t_score = run_block_score(spark, sides, cfg)
+        matched, t_wf = run_er_waterfall(spark, sides, cfg)
+        block_times.append(t_score)
+        wf_times.append(t_wf)
+    t_score = min(block_times)
+    t_wf = min(wf_times)
     queries: dict[str, float] = {
         "er_block_score": round(t_score, 3),
         "er_waterfall": round(t_wf, 3),
@@ -209,11 +226,32 @@ def main() -> None:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         queries[name] = round(time.perf_counter() - t0, 3)
 
+    def spread_pct(ts: list[float]) -> float:
+        return round(100.0 * (max(ts) - min(ts)) / min(ts), 1) if ts else 0.0
+
+    # index-normalized times: t_nominal = t_raw · idx/NOMINAL (time scales
+    # inversely with per-core speed; NOMINAL pins cross-round comparisons
+    # to one reference machine state — r3's stamp)
+    NOMINAL_INDEX = 129.4
+    mean_idx = sum(rep_idx) / len(rep_idx) if rep_idx else idx
+    queries_norm = {
+        k: round(v * mean_idx / NOMINAL_INDEX, 3) for k, v in queries.items()
+    }
     out = {
         "metric": "candidate_pairs_per_sec",
         "value": round(pairs / t_score, 1) if t_score else 0.0,
-        "unit": "sec",
+        "unit": "pairs/sec",
         "queries": queries,
+        "queries_norm_at_index_129.4": queries_norm,
+        "headline_reps": {
+            "er_block_score": [round(t, 3) for t in block_times],
+            "er_waterfall": [round(t, 3) for t in wf_times],
+            "machine_index_per_rep": rep_idx,
+            "spread_pct": {
+                "er_block_score": spread_pct(block_times),
+                "er_waterfall": spread_pct(wf_times),
+            },
+        },
         "sf": round(sf, 4),
         "cpus": cpus,
         "machine_index": idx,
