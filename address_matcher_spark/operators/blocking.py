@@ -28,6 +28,31 @@ def prefilter_ref(ref: DataFrame, search: DataFrame, key: str) -> DataFrame:
     return ref.join(search.select(key).distinct(), on=key, how="left_semi")
 
 
+def salt_target_pairs_for(spark, cfg) -> int:
+    """Target cross-product size per salt group for the cogrouped scorer.
+    Explicit cfg.salt_target_pairs wins; the None default is
+    concurrency-adaptive: ~2M/parallelism, clamped to [32k, 250k].
+
+    The scoring kernel's working set is ∝ target (the dense nl×nr
+    matrices in kernels.cross_token_set_scores: 250k pairs ≈ ~24 MB of
+    live float64 matrices per worker).  Profiling
+    (BENCH/scaling_residue.json, scripts/profile_block_score.py) shows
+    per-pair ON-CORE kernel time nearly doubles from 8 to 32 concurrent
+    workers — DRAM bandwidth saturation, invisible to the L1-resident
+    calibration probe — so at high per-node concurrency smaller groups
+    (smaller hot matrices, more cache-resident) win: interleaved A/B at
+    local[32] measured 64k ~10-15% faster than 250k, while at local[8]
+    250k is ~8% faster (per-group overhead dominates, no bandwidth
+    pressure to relieve).  2M/dp reproduces both optima.  On a real
+    cluster defaultParallelism proxies PER-NODE concurrency (executor
+    cores sharing one memory controller), which the contention tracks."""
+    explicit = getattr(cfg, "salt_target_pairs", None)
+    if explicit is not None:
+        return explicit
+    dp = spark.sparkContext.defaultParallelism
+    return int(max(32_000, min(250_000, 2_000_000 // max(dp, 1))))
+
+
 def choose_salt(search: DataFrame, key: str, target_block_rows: int = 5000,
                 max_salt: int = 64) -> int:
     """Pick the salt factor from the measured block-key histogram: enough

@@ -242,7 +242,7 @@ def field_candidates(
     s_salted, r_salted, extra = blocking.salt_for_cogroup_adaptive(
         s.select("record_id", "__bk", *p_cols),
         r.select("ref_id", "__bk", *r_cols),
-        "__bk", cfg.salt_target_pairs,
+        "__bk", blocking.salt_target_pairs_for(s.sparkSession, cfg),
     )
     keys = ["__bk", *extra]
     npart = s.sparkSession.sparkContext.defaultParallelism

@@ -55,18 +55,39 @@ def block_cross_score(
     out_schema = f"{search_id} long, {ref_id} long, fuzzy_score double"
 
     def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        import os
+        import time
+
+        prof_dir = os.environ.get("SPARK_GRAFT_PROF_DIR")
+        t0 = time.perf_counter() if prof_dir else 0.0
+        c0 = time.process_time() if prof_dir else 0.0
         if left.empty or right.empty:
             return pd.DataFrame({search_id: [], ref_id: [], "fuzzy_score": []})
         lids = left[search_id].to_numpy()
         rids = right[ref_id].to_numpy()
         ltoks = [("" if s is None else s).split() for s in left[search_addr]]
         rtoks = [("" if s is None else s).split() for s in right[ref_addr]]
+        tk = time.perf_counter() if prof_dir else 0.0
         il, jr, sc = K.cross_token_set_scores(ltoks, rtoks, cutoff)
-        return pd.DataFrame({
+        out = pd.DataFrame({
             search_id: lids[il],
             ref_id: rids[jr],
             "fuzzy_score": sc,
         })
+        if prof_dir:
+            # scaling-residue instrumentation (scripts/profile_block_score
+            # .py): per-group (start, call wall s, kernel wall s, pairs,
+            # call CPU s).  wall vs CPU separates memory-stall slowdown
+            # (on-core, inflates both) from OS descheduling under
+            # oversubscription (inflates wall only).
+            t1 = time.perf_counter()
+            c1 = time.process_time()
+            with open(f"{prof_dir}/{os.getpid()}.csv", "a") as fh:
+                fh.write(
+                    f"{t0},{t1 - t0},{t1 - tk},{len(lids) * len(rids)},"
+                    f"{c1 - c0}\n"
+                )
+        return out
 
     return (
         search.groupBy(*key_cols)

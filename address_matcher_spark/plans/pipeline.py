@@ -41,7 +41,9 @@ class MatchConfig:
     score_cut_off_street: float = 99.5      # tools/constants.py:233
     salt: int = 0                           # 0 → measure via choose_salt
     salt_target_rows: int = 5000            # join-path salting (field pass)
-    salt_target_pairs: int = 250_000        # cogroup cross-score salting
+    salt_target_pairs: int | None = None    # cogroup cross-score salting;
+                                            # None → concurrency-adaptive
+                                            # (see salt_target_pairs_for)
     broadcast_ref: bool | None = None       # None → measure bytes (see below)
     broadcast_max_bytes: int = 256 * 1024 * 1024  # explicit-broadcast ceiling
     run_field_passes: bool = True
@@ -266,7 +268,7 @@ def fuzzy_pass(
     s_salted, r_salted, extra = blocking.salt_for_cogroup_adaptive(
         s.select("record_id", "__bk", "search_mod_address"),
         r.select("ref_id", "__bk", "reference_mod_address"),
-        "__bk", cfg.salt_target_pairs,
+        "__bk", blocking.salt_target_pairs_for(s.sparkSession, cfg),
     )
     # pin the scoring stage's parallelism with an explicit NUMBERED
     # repartition on the grouping keys: it satisfies the cogroup's
