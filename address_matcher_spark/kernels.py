@@ -666,7 +666,23 @@ def token_set_ratio_batch(left, right, cutoff: float | None = None) -> np.ndarra
 
 
 def jaro_winkler_batch(left, right) -> np.ndarray:
-    return _batch_apply(left, right, jaro_winkler_similarity)
+    """Aligned-pair JW with per-unique-pair dedup, scored by the lockstep
+    lane (bit-exact with the scalar; see jaro_winkler_lockstep)."""
+    import pandas as pd
+
+    left = np.asarray(left, dtype=object)
+    right = np.asarray(right, dtype=object)
+    n = len(left)
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    lcodes, luniq = pd.factorize(left)
+    rcodes, runiq = pd.factorize(right)
+    width = len(runiq) if len(runiq) else 1
+    key = lcodes.astype(np.int64) * width + rcodes
+    pair_codes, pair_keys = pd.factorize(key)
+    ua = [luniq[int(pk) // width] for pk in pair_keys]
+    ub = [runiq[int(pk) % width] for pk in pair_keys]
+    return jaro_winkler_lockstep(ua, ub)[pair_codes]
 
 
 _ALL64 = np.uint64(0xFFFFFFFFFFFFFFFF)

@@ -200,8 +200,81 @@ def test_read_file_csv_gz_and_parquet(spark, tmp_path):
     assert R.detect_file_type("x.csv.bz2") == "csv"
     with pytest.raises(ValueError):
         R.detect_file_type("notes.txt")
-    with pytest.raises(NotImplementedError):
-        R.read_file(spark, "book.xlsx")
+
+
+def _write_minimal_xlsx(path: str) -> None:
+    """Independently-written OOXML generator (full package structure:
+    content types, rels, workbook, sheet, shared strings) so the reader
+    is tested against the FORMAT, not against its own assumptions.
+    Covers: shared strings, inline string, numeric cells, a sparse row
+    (missing B), and a two-letter column ref (AA)."""
+    import zipfile
+
+    ct = (
+        '<?xml version="1.0"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        '<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>'
+        "</Types>"
+    )
+    rels = (
+        '<?xml version="1.0"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+        "</Relationships>"
+    )
+    wb = (
+        '<?xml version="1.0"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        '<sheets><sheet name="Sheet1" sheetId="1"/></sheets></workbook>'
+    )
+    sst = (
+        '<?xml version="1.0"?>'
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3">'
+        "<si><t>address</t></si><si><t>12 OAK ROAD</t></si>"
+        "<si><r><t>7 ELM</t></r><r><t> STREET</t></r></si></sst>"
+    )
+    ws = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="inlineStr">'
+        "<is><t>uprn</t></is></c>"
+        '<c r="AA1" t="inlineStr"><is><t>wide</t></is></c></row>'
+        '<row r="2"><c r="A2" t="s"><v>1</v></c><c r="B2"><v>9001</v></c>'
+        '<c r="AA2"><v>1.5</v></c></row>'
+        '<row r="3"><c r="A3" t="s"><v>2</v></c>'
+        '<c r="AA3" t="inlineStr"><is><t>x</t></is></c></row>'
+        "</sheetData></worksheet>"
+    )
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("[Content_Types].xml", ct)
+        zf.writestr("_rels/.rels", rels)
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/sharedStrings.xml", sst)
+        zf.writestr("xl/worksheets/sheet1.xml", ws)
+
+
+def test_read_file_xlsx(spark, tmp_path):
+    """S1 xlsx path (ref tools/matcher_funcs.py:60-67 pd.read_excel):
+    dependency-free driver-side parse → all-string DataFrame; coercion
+    stays downstream exactly like the reference."""
+    from address_matcher_spark.sources import read as R
+
+    path = str(tmp_path / "book.xlsx")
+    _write_minimal_xlsx(path)
+    df = R.read_file(spark, path)
+    # header from row 1; gap columns C..Z get placeholder names
+    assert df.columns[0] == "address" and df.columns[1] == "uprn"
+    assert df.columns[26] == "wide" and df.columns[2] == "_c2"
+    rows = {r["address"]: r for r in df.collect()}
+    assert rows["12 OAK ROAD"]["uprn"] == "9001"
+    assert rows["12 OAK ROAD"]["wide"] == "1.5"
+    # sparse row: missing B stays null; multi-run inline/shared strings join
+    assert rows["7 ELM STREET"]["uprn"] is None
+    assert rows["7 ELM STREET"]["wide"] == "x"
 
 
 def test_read_file_csv_zip(spark, tmp_path):
