@@ -4,15 +4,16 @@ with typed metadata, decode/feature-extract as Arrow-batched UDFs.
 Decode support (zero external deps — stdlib struct/zlib + numpy only):
   real   BMP (24bpp uncompressed), PNG (8-bit gray/RGB/RGBA,
          non-interlaced: zlib inflate + sub/up/average/paeth unfilter),
-         JPEG (baseline sequential SOF0: huffman entropy decode +
-         dequantize + 8×8 IDCT, luma plane), GIF (87a/89a LZW + palette,
-         incl. interlace; first frame), WAV (PCM 8/16-bit)
-  stub   progressive JPEG / FLAC / video — no codecs ship in this
-         container, so these fall back to ``_decode_stub`` (deterministic
-         fake derived from the payload bytes, clearly marked) — the
-         Spark-side plumbing (schema, mapInPandas batching, feature
-         shapes) is identical either way; swapping the stub for
-         PIL/ffmpeg is a one-function change.
+         JPEG (baseline sequential SOF0 AND progressive SOF2 — multi-scan
+         spectral selection + successive approximation with DC/AC
+         refinement and EOB runs, luma plane), GIF (87a/89a LZW +
+         palette, incl. interlace; first frame), WAV (PCM 8/16-bit)
+  stub   FLAC / video (and JPEG arithmetic coding / restart markers) —
+         no codecs ship in this container, so these fall back to
+         ``_decode_stub`` (deterministic fake derived from the payload
+         bytes, clearly marked) — the Spark-side plumbing (schema,
+         mapInPandas batching, feature shapes) is identical either way;
+         swapping the stub for PIL/ffmpeg is a one-function change.
 
 Features: images → 8×8 block-mean grayscale (64-dim, the classic aHash
 grid); audio → [rms, zero-crossing-rate, mean, peak] + 4 coarse envelope
@@ -386,9 +387,11 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
                 cid, hv, tq = struct.unpack_from("BBB", body, 6 + 3 * c)
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC2:  # SOF2 progressive — dedicated multi-scan path
+            return _decode_jpeg_progressive(b)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("non-baseline JPEG (progressive/etc)")
+            raise NotImplementedError("non-baseline JPEG (lossless/arith)")
         elif marker == 0xC4:  # DHT
             off = 0
             while off < len(body):
@@ -475,6 +478,245 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
     return np.clip(y_plane[:h, :w], 0.0, 255.0)
 
 
+def _decode_jpeg_progressive(b: bytes) -> np.ndarray:
+    """Progressive JPEG (SOF2) → grayscale float array [h, w].
+
+    Multi-scan coefficient accumulation per JPEG Annex G: DC first
+    (point-transformed diffs) and DC refinement (one bit/block), AC
+    first with EOB runs, AC refinement with correction bits (the
+    libjpeg-style zero-history run walk).  Only the Y component's
+    coefficients are retained; AC scans are non-interleaved by spec, so
+    chroma AC scans are SKIPPED wholesale (each scan is a self-contained
+    entropy segment) — chroma DC is entropy-decoded only where a DC scan
+    interleaves it with Y, to keep the bitstream in sync.  Arithmetic
+    coding and restart markers raise NotImplementedError (declared
+    fallback to the stub)."""
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    ycoef = None  # int64 [grid_by, grid_bx, 64] zigzag-order coefficients
+
+    def scan_segment(start: int) -> tuple[bytes, int]:
+        raw = bytearray()
+        p = start
+        while p < len(b) - 1:
+            byte = b[p]
+            if byte == 0xFF:
+                nxt = b[p + 1]
+                if nxt == 0x00:
+                    raw.append(0xFF)
+                    p += 2
+                    continue
+                if 0xD0 <= nxt <= 0xD7:
+                    raise NotImplementedError("JPEG restart markers")
+                break
+            raw.append(byte)
+            p += 1
+        return bytes(raw), p
+
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = b[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        ln = struct.unpack_from(">H", b, pos + 2)[0]
+        body = b[pos + 4: pos + 2 + ln]
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 15
+                if pq != 0:
+                    raise NotImplementedError("12-bit JPEG quant table")
+                qt[tq] = np.frombuffer(
+                    body, dtype=np.uint8, count=64, offset=off + 1
+                ).astype(np.float64)
+                off += 65
+        elif marker == 0xC4:  # DHT (tables may be redefined between scans)
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 15
+                counts = list(body[off + 1: off + 17])
+                nvals = sum(counts)
+                vals = body[off + 17: off + 17 + nvals]
+                (huff_dc if tc == 0 else huff_ac)[th] = _huff_table(counts, vals)
+                off += 17 + nvals
+        elif marker == 0xC2:  # SOF2
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError("JPEG precision != 8")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = struct.unpack_from("BBB", body, 6 + 3 * c)
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            max_h = max(c[1] for c in comps)
+            max_v = max(c[2] for c in comps)
+            mcus_x = -(-w // (8 * max_h))
+            mcus_y = -(-h // (8 * max_v))
+            frame = (h, w, comps, max_h, max_v, mcus_x, mcus_y)
+            y_hs, y_vs = comps[0][1], comps[0][2]
+            ycoef = np.zeros((mcus_y * y_vs, mcus_x * y_hs, 64), dtype=np.int64)
+        elif marker == 0xDD:  # DRI
+            if struct.unpack_from(">H", body, 0)[0] != 0:
+                raise NotImplementedError("JPEG restart markers")
+        elif marker == 0xDA:  # SOS — one progressive scan
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            h, w, comps, max_h, max_v, mcus_x, mcus_y = frame
+            y_cid = comps[0][0]
+            comp_info = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+            ns = body[0]
+            scomps = [
+                (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 15)
+                for i in range(ns)
+            ]
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 15
+            data, pos = scan_segment(pos + 2 + ln)
+            if y_cid not in [c[0] for c in scomps]:
+                continue  # chroma-only scan: self-contained, skip wholly
+
+            def nblocks(cid: int) -> tuple[int, int]:
+                hs, vs, _tq = comp_info[cid]
+                cw = -(-w * hs // max_h)
+                ch = -(-h * vs // max_v)
+                return -(-ch // 8), -(-cw // 8)
+
+            reader = _BitReader(data)
+            if ss == 0:  # DC scan (interleaved when ns > 1)
+                pred = {cid: 0 for cid, _td, _ta in scomps}
+                if ns > 1:
+                    order = []
+                    for my in range(mcus_y):
+                        for mx in range(mcus_x):
+                            for cid, td, _ta in scomps:
+                                hs, vs, _tq = comp_info[cid]
+                                for vy in range(vs):
+                                    for vx in range(hs):
+                                        order.append(
+                                            (cid, td, my * vs + vy, mx * hs + vx)
+                                        )
+                else:
+                    cid, td, _ta = scomps[0]
+                    nby, nbx = nblocks(cid)
+                    order = [
+                        (cid, td, r, c)
+                        for r in range(nby) for c in range(nbx)
+                    ]
+                for cid, td, by, bx in order:
+                    if ah == 0:
+                        s = _huff_decode(reader, huff_dc[td])
+                        diff = _extend(reader.read(s), s) if s else 0
+                        pred[cid] += diff
+                        if cid == y_cid:
+                            ycoef[by, bx, 0] = pred[cid] << al
+                    else:
+                        bit = reader.read(1)
+                        if cid == y_cid and bit:
+                            ycoef[by, bx, 0] |= bit << al
+            else:  # AC scan: non-interleaved single component by spec
+                if ns != 1:
+                    raise ValueError("interleaved progressive AC scan")
+                cid, _td, ta = scomps[0]
+                nby, nbx = nblocks(cid)
+                table = huff_ac[ta]
+                eobrun = 0
+                for r0 in range(nby):
+                    for c0 in range(nbx):
+                        blk = ycoef[r0, c0]
+                        k = ss
+                        if ah == 0:  # first scan for this band
+                            if eobrun:
+                                eobrun -= 1
+                                continue
+                            while k <= se:
+                                rs = _huff_decode(reader, table)
+                                r, s = rs >> 4, rs & 15
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16
+                                        continue
+                                    eobrun = (1 << r) - 1 + (
+                                        reader.read(r) if r else 0
+                                    )
+                                    break
+                                k += r
+                                if k > se:
+                                    raise ValueError("JPEG AC index overrun")
+                                blk[k] = _extend(reader.read(s), s) << al
+                                k += 1
+                        else:  # refinement
+                            # eobrun counts the FULL run here (incl. the
+                            # block whose rs-loop read the EOBn): the
+                            # current block's tail correction-bit pass
+                            # must run even for a run of length 1
+                            if eobrun == 0:
+                                while k <= se:
+                                    rs = _huff_decode(reader, table)
+                                    r, s = rs >> 4, rs & 15
+                                    newval = 0
+                                    if s == 0:
+                                        if r != 15:
+                                            eobrun = (1 << r) + (
+                                                reader.read(r) if r else 0
+                                            )
+                                            break
+                                        # ZRL: 16 zero-history positions
+                                    else:
+                                        if s != 1:
+                                            raise ValueError(
+                                                "bad AC refinement magnitude"
+                                            )
+                                        newval = (
+                                            (1 << al) if reader.read(1)
+                                            else -(1 << al)
+                                        )
+                                    while k <= se:
+                                        if blk[k] != 0:
+                                            if reader.read(1):
+                                                blk[k] += (
+                                                    (1 << al) if blk[k] > 0
+                                                    else -(1 << al)
+                                                )
+                                        else:
+                                            if r == 0:
+                                                if newval:
+                                                    blk[k] = newval
+                                                k += 1
+                                                break
+                                            r -= 1
+                                        k += 1
+                            if eobrun > 0:
+                                # EOB band: correction bits only
+                                while k <= se:
+                                    if blk[k] != 0 and reader.read(1):
+                                        blk[k] += (
+                                            (1 << al) if blk[k] > 0
+                                            else -(1 << al)
+                                        )
+                                    k += 1
+                                eobrun -= 1
+            continue  # pos already advanced past the entropy segment
+        pos += 2 + ln
+    if frame is None or ycoef is None:
+        raise ValueError("JPEG missing SOF2")
+    h, w, comps, max_h, max_v, _mx, _my = frame
+    y_hs, y_vs, y_tq = comps[0][1], comps[0][2], comps[0][3]
+    nby = -(-(-(-h * y_vs // max_v)) // 8)
+    nbx = -(-(-(-w * y_hs // max_h)) // 8)
+    plane = np.zeros((ycoef.shape[0] * 8, ycoef.shape[1] * 8))
+    q = qt[y_tq]
+    for r in range(nby):
+        for c in range(nbx):
+            block = np.zeros(64)
+            block[_ZIGZAG] = ycoef[r, c] * q
+            px = _DCT_A.T @ block.reshape(8, 8) @ _DCT_A
+            plane[r * 8: r * 8 + 8, c * 8: c * 8 + 8] = px + 128.0
+    return np.clip(plane[:h, :w], 0.0, 255.0)
+
+
 def _decode_wav(b: bytes) -> tuple[np.ndarray, int, int]:
     """PCM 8/16-bit WAV → (mono float samples in [-1, 1], rate, channels)."""
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
@@ -529,7 +771,7 @@ def _audio_feature(s: np.ndarray) -> np.ndarray:
 
 def _decode_stub(payload: bytes) -> tuple[int, int, np.ndarray]:
     """STUB for formats whose codecs don't ship in this container
-    (progressive JPEG/FLAC/video): a deterministic fake (width, height, 8-dim
+    (FLAC/video/arithmetic-JPEG): a deterministic fake (width, height, 8-dim
     feature) derived from the payload bytes so the pipeline shape stays
     fully exercisable.  Replace with PIL/ffmpeg in production."""
     h = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8).astype(np.float32)

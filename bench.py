@@ -134,6 +134,16 @@ def run_er_waterfall(spark, sides, cfg) -> tuple[int, float]:
     return matched, time.perf_counter() - t0
 
 
+def run_er_waterfall_full(spark, sides) -> tuple[int, float]:
+    """The COMPLETE 8-pass waterfall (fuzzy + field passes, postcode +
+    street blocks) — the user-facing product path.  Timed separately
+    from er_waterfall, which stays fuzzy-only for r1-r3 comparability."""
+    from address_matcher_spark.plans import pipeline as P
+
+    cfg = P.MatchConfig(run_field_passes=True)
+    return run_er_waterfall(spark, sides, cfg)
+
+
 OPERATOR_QUERIES = [
     "q1_pricing_summary",
     "q3_order_revenue",
@@ -221,6 +231,8 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SKIP_FIELD") != "1":
         _, t_field = run_field_pass(spark, sides, cfg)
         queries["er_field_pass"] = round(t_field, 3)
+        _, t_wf8 = run_er_waterfall_full(spark, sides)
+        queries["er_waterfall_full_8pass"] = round(t_wf8, 3)
     for name in OPERATOR_QUERIES:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -392,11 +392,269 @@ def test_jpeg_decoder_roundtrip():
         err = np.abs(gray - img)
         assert err.mean() < 3.0 and err.max() < 20.0
 
-    # progressive JPEG (SOF2) falls back to the declared stub
-    prog = bytearray(_make_jpeg(img))
-    prog[prog.index(b"\xff\xc0", 2) + 1] = 0xC2
-    mt, w, h, ok, _ = multimodal.decode_media(bytes(prog))
+    # arithmetic-coded SOF falls back to the declared stub
+    arith = bytearray(_make_jpeg(img))
+    arith[arith.index(b"\xff\xc0", 2) + 1] = 0xC9
+    mt, w, h, ok, _ = multimodal.decode_media(bytes(arith))
     assert ok is False and mt == "application/octet-stream"
+
+
+def _make_progressive_jpeg(img, successive: bool, quant: int = 10) -> bytes:
+    """Minimal PROGRESSIVE JPEG encoder (test-side only, grayscale,
+    independently derived from Annex G): spectral-selection scan plan,
+    and with successive=True a successive-approximation plan exercising
+    DC refinement (bit/block), AC point transform (sign-magnitude shift)
+    and the AC-refinement correction-bit walk with EOB runs."""
+    import numpy as np
+
+    h, w = img.shape
+    assert h % 8 == 0 and w % 8 == 0
+    A = np.array([[np.cos((2 * x + 1) * u * np.pi / 16) *
+                   (np.sqrt(0.125) if u == 0 else 0.5)
+                   for x in range(8)] for u in range(8)])
+    zz = _zigzag_pairs()
+    Q = np.full((8, 8), float(quant))
+    blocks = []
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            coef = A @ (img[by:by + 8, bx:bx + 8] - 128.0) @ A.T
+            blocks.append([int(round((coef / Q)[r, c])) for r, c in zz])
+
+    class _Bits:
+        def __init__(self):
+            self.bits = []
+            self.syms = set()
+            self.entries = []  # ("sym", sym) | ("raw", value, nbits)
+
+        def sym(self, s):
+            self.syms.add(s)
+            self.entries.append(("sym", s))
+
+        def raw(self, v, n):
+            if n:
+                self.entries.append(("raw", v, n))
+
+        def mag(self, v, s):
+            if s:
+                self.raw(v + (1 << s) - 1 if v < 0 else v, s)
+
+    def dc_scan(al):
+        out = _Bits()
+        pred = 0
+        for blk in blocks:
+            v = blk[0] >> al  # DC point transform is ARITHMETIC shift
+            diff = v - pred
+            pred = v
+            s = int(abs(diff)).bit_length()
+            out.sym(s)
+            out.mag(diff, s)
+        return out
+
+    def dc_refine(al):
+        out = _Bits()
+        for blk in blocks:
+            out.raw((blk[0] >> al) & 1, 1)
+        return out
+
+    def ac_first(ss, se, al):
+        out = _Bits()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                out.sym(r << 4)
+                out.raw(eobrun - (1 << r), r)
+                eobrun = 0
+
+        for blk in blocks:
+            # AC point transform is SIGN-MAGNITUDE shift
+            sv = [
+                (1 if v > 0 else -1) * (abs(v) >> al) if v else 0
+                for v in blk
+            ]
+            nz = [k for k in range(ss, se + 1) if sv[k]]
+            if not nz:
+                eobrun += 1
+                if eobrun == 32767:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            last = nz[-1]
+            for k in range(ss, last + 1):
+                v = sv[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    out.sym(0xF0)
+                    run -= 16
+                s = int(abs(v)).bit_length()
+                out.sym((run << 4) | s)
+                out.mag(v, s)
+                run = 0
+            if last < se:
+                eobrun += 1
+        flush_eob()
+        return out
+
+    def ac_refine(ss, se, al):
+        """Precision al+1 → al.  Exact mirror of the decoder's walk: each
+        emitted symbol is followed by precisely the correction bits the
+        decoder consumes during that symbol's positional walk (history
+        coefficients passed while skipping zero-history runs), and EOB
+        runs carry the starter block's tail bits then each member
+        block's full-band bits."""
+        out = _Bits()
+        eobrun = 0
+        br: list[int] = []  # correction bits the pending EOB run will carry
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                out.sym(r << 4)
+                out.raw(eobrun - (1 << r), r)
+                for bit in br:
+                    out.raw(bit, 1)
+                br.clear()
+                eobrun = 0
+
+        def hist_bit(blk, k):
+            return (abs(blk[k]) >> al) & 1
+
+        for blk in blocks:
+            absv = [abs(v) >> al for v in blk]
+            is_hist = [(abs(v) >> (al + 1)) > 0 for v in blk]
+            newly = [k for k in range(ss, se + 1)
+                     if absv[k] == 1 and not is_hist[k]]
+            if not newly:
+                # whole band joins the EOB run (starter gets full band)
+                br.extend(hist_bit(blk, k)
+                          for k in range(ss, se + 1) if is_hist[k])
+                eobrun += 1
+                if eobrun == 32767:
+                    flush_eob()
+                continue
+            flush_eob()
+            k = ss
+            for nk in newly:
+                run = sum(
+                    1 for j in range(k, nk)
+                    if not is_hist[j] and absv[j] == 0
+                )
+                while run > 15:
+                    # ZRL consumes the next 16 zero-history positions;
+                    # its walk reads bits at history positions passed
+                    out.sym(0xF0)
+                    zeros = 0
+                    while zeros < 16:
+                        if is_hist[k]:
+                            out.raw(hist_bit(blk, k), 1)
+                        else:
+                            zeros += 1
+                        k += 1
+                    run -= 16
+                out.sym((run << 4) | 1)
+                out.raw(1 if blk[nk] > 0 else 0, 1)
+                while k < nk:  # walk to the placement position
+                    if is_hist[k]:
+                        out.raw(hist_bit(blk, k), 1)
+                    k += 1
+                k = nk + 1
+            if k <= se:
+                # decoder reads one more symbol for this block: EOBn,
+                # whose tail-walk covers [k, se]
+                br.extend(hist_bit(blk, j)
+                          for j in range(k, se + 1) if is_hist[j])
+                eobrun += 1
+        flush_eob()
+        return out
+
+    if successive:
+        plan = [
+            (dc_scan(1), 0, 0, 0, 1, True),
+            (dc_refine(0), 0, 0, 1, 0, False),
+            (ac_first(1, 63, 1), 1, 63, 0, 1, False),
+            (ac_refine(1, 63, 0), 1, 63, 1, 0, False),
+        ]
+    else:
+        plan = [
+            (dc_scan(0), 0, 0, 0, 0, True),
+            (ac_first(1, 5, 0), 1, 5, 0, 0, False),
+            (ac_first(6, 63, 0), 6, 63, 0, 0, False),
+        ]
+
+    import struct as st
+    out = bytearray(b"\xff\xd8")
+    dqt = bytes([0x00]) + bytes(int(Q[r, c]) for r, c in zz)
+    out += b"\xff\xdb" + st.pack(">H", 2 + len(dqt)) + dqt
+    sof = st.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc2" + st.pack(">H", 2 + len(sof)) + sof
+    for scan, ss, se, ah, al, is_dc in plan:
+        syms = sorted(scan.syms)
+        counts = [0] * 16
+        counts[7] = len(syms)
+        codes = {v: (8, i) for i, v in enumerate(syms)}
+        if syms:
+            tc = 0x00 if is_dc else 0x10
+            dht = bytes([tc]) + bytes(counts) + bytes(syms)
+            out += b"\xff\xc4" + st.pack(">H", 2 + len(dht)) + dht
+        sos = bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + st.pack(">H", 2 + len(sos)) + sos
+        bits = []
+        for e in scan.entries:
+            if e[0] == "sym":
+                ln, code = codes[e[1]]
+                bits.extend((code >> (ln - 1 - i)) & 1 for i in range(ln))
+            else:
+                _tag, v, n = e
+                bits.extend((v >> (n - 1 - i)) & 1 for i in range(n))
+        while len(bits) % 8:
+            bits.append(1)
+        data = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = int("".join(map(str, bits[i:i + 8])), 2)
+            data.append(byte)
+            if byte == 0xFF:
+                data.append(0x00)
+        out += bytes(data)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_progressive_jpeg_roundtrip():
+    """Progressive JPEG decode is REAL: an independently-written Annex-G
+    encoder's output (spectral selection; successive approximation with
+    DC + AC refinement and EOB runs) decodes back to the source within
+    quantization error and matches the baseline decode of the same
+    image."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    x = np.arange(24)[None, :] * 6.0
+    y = np.arange(16)[:, None] * 4.0
+    img = np.clip(
+        x + y + 40.0 * np.sin(np.arange(24)[None, :] / 3.0)
+        + rng.randint(-20, 20, (16, 24)),
+        0, 255,
+    ).astype(float)
+
+    for successive in (False, True):
+        payload = _make_progressive_jpeg(img, successive)
+        mt, w, h, ok, feat = multimodal.decode_media(payload)
+        assert (mt, w, h, ok) == ("image/jpeg", 24, 16, True), (
+            successive, mt, w, h, ok)
+        gray = multimodal._decode_jpeg(payload)
+        err = np.abs(gray - img)
+        assert err.mean() < 3.0 and err.max() < 20.0, (
+            successive, err.mean(), err.max())
+        # the multi-scan accumulation must agree with the single-scan
+        # baseline decode of the SAME quantized coefficients
+        base = multimodal._decode_jpeg(_make_jpeg(img))
+        assert np.abs(gray - base).max() < 1e-6
 
 
 def _make_gif(img, interlace: bool = False) -> bytes:
