@@ -360,6 +360,8 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
     frame = None            # (h, w, [(cid, hs, vs, tq), ...])
     scan_comps = None       # [(cid, td, ta), ...]
     scan_data = None
+    scan_segments: list[bytes] = []   # entropy data split at RSTn markers
+    restart_interval = 0
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
@@ -401,16 +403,17 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
                 vals = body[off + 17: off + 17 + nvals]
                 (huff_dc if tc == 0 else huff_ac)[th] = _huff_table(counts, vals)
                 off += 17 + nvals
-        elif marker == 0xDD:  # DRI
-            if struct.unpack_from(">H", body, 0)[0] != 0:
-                raise NotImplementedError("JPEG restart markers")
+        elif marker == 0xDD:  # DRI — restart interval in MCUs
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS
             ns = body[0]
             scan_comps = []
             for c in range(ns):
                 cid, tdta = struct.unpack_from("BB", body, 1 + 2 * c)
                 scan_comps.append((cid, tdta >> 4, tdta & 15))
-            # entropy-coded data: strip 0xFF00 stuffing, stop at a marker
+            # entropy-coded data: strip 0xFF00 stuffing; RSTn markers
+            # split the data into independently byte-aligned segments
+            # (DC predictors reset at each); stop at any other marker
             raw = bytearray()
             p = pos + 2 + ln
             while p < len(b) - 1:
@@ -421,10 +424,16 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
                         raw.append(0xFF)
                         p += 2
                         continue
+                    if 0xD0 <= nxt <= 0xD7:
+                        scan_segments.append(bytes(raw))
+                        raw = bytearray()
+                        p += 2
+                        continue
                     break  # real marker (EOI or otherwise)
                 raw.append(byte)
                 p += 1
-            scan_data = bytes(raw)
+            scan_segments.append(bytes(raw))
+            scan_data = True
             break
         pos += 2 + ln
     if frame is None or scan_data is None:
@@ -437,12 +446,22 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
     y_cid = comps[0][0]  # first component is luma (or the only one)
     y_hs, y_vs = comps[0][1], comps[0][2]
     y_plane = np.zeros((mcus_y * y_vs * 8, mcus_x * y_hs * 8))
-    reader = _BitReader(scan_data)
+    reader = _BitReader(scan_segments[0])
+    seg_idx = 0
+    mcu_n = 0
     pred = {cid: 0 for cid, _, _, _ in comps}
     scan_map = {cid: (td, ta) for cid, td, ta in scan_comps}
     comp_info = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                # RSTn boundary: next byte-aligned segment, DC preds reset
+                seg_idx += 1
+                if seg_idx >= len(scan_segments):
+                    raise ValueError("JPEG missing restart segment")
+                reader = _BitReader(scan_segments[seg_idx])
+                pred = {cid: 0 for cid, _, _, _ in comps}
+            mcu_n += 1
             for cid, _, _ in scan_comps:
                 hs, vs, tq = comp_info[cid]
                 td, ta = scan_map[cid]

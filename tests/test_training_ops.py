@@ -267,11 +267,15 @@ def _zigzag_pairs():
     return out
 
 
-def _make_jpeg(img, color: bool = False, quant: int = 10) -> bytes:
+def _make_jpeg(img, color: bool = False, quant: int = 10,
+               restart_interval: int = 0) -> bytes:
     """Minimal baseline JPEG encoder (test-side only): grayscale or 4:4:4
     YCbCr with neutral chroma; canonical huffman tables built from the
     actually-emitted symbols (all codes length 8), so the decoder's
-    canonical-table construction is genuinely exercised."""
+    canonical-table construction is genuinely exercised.  With
+    restart_interval=R, a DRI marker is emitted and the entropy stream is
+    split into byte-aligned segments joined by cycling RSTn markers, DC
+    predictors resetting at each."""
     import numpy as np
 
     h, w = img.shape
@@ -314,9 +318,15 @@ def _make_jpeg(img, color: bool = False, quant: int = 10) -> bytes:
     comps = 3 if color else 1
     planes = [img] + ([np.full((h, w), 128.0)] * 2 if color else [])
     stream = []  # (comp_idx, entries)
+    seg_breaks = []  # stream indices where a restart segment begins
     preds = [0] * comps
+    mcu = 0
     for by in range(0, h, 8):
         for bx in range(0, w, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                seg_breaks.append(len(stream))
+                preds = [0] * comps
+            mcu += 1
             for ci in range(comps):
                 blk = planes[ci][by:by + 8, bx:bx + 8] - 128.0
                 coef = A @ blk @ A.T
@@ -337,22 +347,31 @@ def _make_jpeg(img, color: bool = False, quant: int = 10) -> bytes:
     dc_counts, dc_vals, dc_codes = canonical(dc_syms)
     ac_counts, ac_vals, ac_codes = canonical(ac_syms)
 
-    bits = []
-    for entries in stream:
-        for kind, sym, val, s in entries:
-            ln, code = (dc_codes if kind == "dc" else ac_codes)[sym]
-            bits.extend((code >> (ln - 1 - i)) & 1 for i in range(ln))
-            if s:
-                mag = val + (1 << s) - 1 if val < 0 else val
-                bits.extend((mag >> (s - 1 - i)) & 1 for i in range(s))
-    while len(bits) % 8:
-        bits.append(1)
+    def seg_bytes(entries_list):
+        bits = []
+        for entries in entries_list:
+            for kind, sym, val, s in entries:
+                ln, code = (dc_codes if kind == "dc" else ac_codes)[sym]
+                bits.extend((code >> (ln - 1 - i)) & 1 for i in range(ln))
+                if s:
+                    mag = val + (1 << s) - 1 if val < 0 else val
+                    bits.extend((mag >> (s - 1 - i)) & 1 for i in range(s))
+        while len(bits) % 8:
+            bits.append(1)
+        seg = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = int("".join(map(str, bits[i:i + 8])), 2)
+            seg.append(byte)
+            if byte == 0xFF:
+                seg.append(0x00)
+        return seg
+
     data = bytearray()
-    for i in range(0, len(bits), 8):
-        byte = int("".join(map(str, bits[i:i + 8])), 2)
-        data.append(byte)
-        if byte == 0xFF:
-            data.append(0x00)
+    bounds = [0] + seg_breaks + [len(stream)]
+    for si in range(len(bounds) - 1):
+        if si:
+            data += bytes([0xFF, 0xD0 + ((si - 1) % 8)])
+        data += seg_bytes(stream[bounds[si]: bounds[si + 1]])
 
     import struct as st
     out = bytearray(b"\xff\xd8")
@@ -365,6 +384,8 @@ def _make_jpeg(img, color: bool = False, quant: int = 10) -> bytes:
     dht = bytes([0x00]) + bytes(dc_counts) + dc_vals
     dht += bytes([0x10]) + bytes(ac_counts) + ac_vals
     out += b"\xff\xc4" + st.pack(">H", 2 + len(dht)) + dht
+    if restart_interval:
+        out += b"\xff\xdd" + st.pack(">HH", 4, restart_interval)
     sos = bytes([comps])
     for ci in range(comps):
         sos += bytes([ci + 1, 0x00])
@@ -391,6 +412,13 @@ def test_jpeg_decoder_roundtrip():
         gray = multimodal._decode_jpeg(payload)
         err = np.abs(gray - img)
         assert err.mean() < 3.0 and err.max() < 20.0
+
+    # DRI/RSTn: byte-aligned restart segments with DC-predictor resets
+    for ri in (1, 2, 5):
+        payload = _make_jpeg(img, restart_interval=ri)
+        gray = multimodal._decode_jpeg(payload)
+        base = multimodal._decode_jpeg(_make_jpeg(img))
+        assert np.abs(gray - base).max() < 1e-9, ri
 
     # arithmetic-coded SOF falls back to the declared stub
     arith = bytearray(_make_jpeg(img))
