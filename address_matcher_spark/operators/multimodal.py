@@ -7,9 +7,11 @@ Decode support (zero external deps — stdlib struct/zlib + numpy only):
          JPEG (baseline sequential SOF0 AND progressive SOF2 — multi-scan
          spectral selection + successive approximation with DC/AC
          refinement and EOB runs, luma plane), GIF (87a/89a LZW +
-         palette, incl. interlace; first frame), WAV (PCM 8/16-bit)
-  stub   FLAC / video (and JPEG arithmetic coding / restart markers) —
-         no codecs ship in this container, so these fall back to
+         palette, incl. interlace; first frame), WAV (PCM 8/16-bit),
+         FLAC (frame parse, constant/verbatim/fixed/LPC subframes, rice
+         residuals, stereo decorrelation, CRC-8/16 verified)
+  stub   video (and JPEG arithmetic coding) — no codecs ship in this
+         container, so these fall back to
          ``_decode_stub`` (deterministic fake derived from the payload
          bytes, clearly marked) — the Spark-side plumbing (schema,
          mapInPandas batching, feature shapes) is identical either way;
@@ -736,6 +738,283 @@ def _decode_jpeg_progressive(b: bytes) -> np.ndarray:
     return np.clip(plane[:h, :w], 0.0, 255.0)
 
 
+class _MSBReader:
+    """MSB-first bit reader over bytes (FLAC bitstream layout)."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes, bitpos: int = 0):
+        self.data = data
+        self.pos = bitpos
+
+    def read(self, n: int) -> int:
+        v = 0
+        pos = self.pos
+        data = self.data
+        end = pos + n
+        if end > len(data) * 8:
+            raise ValueError("FLAC bitstream exhausted")
+        while n:
+            byte_i, bit_i = divmod(pos, 8)
+            take = min(8 - bit_i, n)
+            chunk = (data[byte_i] >> (8 - bit_i - take)) & ((1 << take) - 1)
+            v = (v << take) | chunk
+            pos += take
+            n -= take
+        self.pos = pos
+        return v
+
+    def signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >> (n - 1) else v
+
+    def unary(self) -> int:
+        c = 0
+        while self.read(1) == 0:
+            c += 1
+        return c
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc ^= byte << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+_FLAC_BLOCKSIZES = {
+    1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096, 13: 8192,
+    14: 16384, 15: 32768,
+}
+_FLAC_BPS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def _flac_utf8_number(r: _MSBReader) -> int:
+    """FLAC's UTF-8-style frame/sample number coding."""
+    first = r.read(8)
+    if first < 0x80:
+        return first
+    n_extra = 0
+    mask = 0x40
+    while first & mask:
+        n_extra += 1
+        mask >>= 1
+    v = first & (mask - 1)
+    for _ in range(n_extra):
+        cont = r.read(8)
+        if cont >> 6 != 0b10:
+            raise ValueError("bad FLAC UTF-8 continuation")
+        v = (v << 6) | (cont & 0x3F)
+    return v
+
+
+def _flac_residual(r: _MSBReader, blocksize: int, order: int) -> list[int]:
+    """Rice-coded residual partitions (coding methods 0/1)."""
+    method = r.read(2)
+    if method > 1:
+        raise NotImplementedError("reserved FLAC residual coding method")
+    plen = 4 if method == 0 else 5
+    escape = (1 << plen) - 1
+    po = r.read(4)
+    nparts = 1 << po
+    if blocksize % nparts:
+        raise ValueError("FLAC partition size not integral")
+    out: list[int] = []
+    for p in range(nparts):
+        n = blocksize // nparts - (order if p == 0 else 0)
+        param = r.read(plen)
+        if param == escape:
+            raw = r.read(5)
+            for _ in range(n):
+                out.append(r.signed(raw) if raw else 0)
+        else:
+            for _ in range(n):
+                q = r.unary()
+                v = (q << param) | r.read(param)
+                out.append((v >> 1) ^ -(v & 1))  # zigzag → signed
+    return out
+
+
+def _flac_subframe(r: _MSBReader, blocksize: int, bps: int) -> list[int]:
+    if r.read(1):
+        raise ValueError("FLAC subframe padding bit set")
+    stype = r.read(6)
+    wasted = 0
+    if r.read(1):
+        wasted = r.unary() + 1
+        bps -= wasted
+    if stype == 0:  # CONSTANT
+        v = r.signed(bps)
+        samples = [v] * blocksize
+    elif stype == 1:  # VERBATIM
+        samples = [r.signed(bps) for _ in range(blocksize)]
+    elif 8 <= stype <= 12:  # FIXED, order 0-4
+        order = stype - 8
+        warm = [r.signed(bps) for _ in range(order)]
+        res = _flac_residual(r, blocksize, order)
+        samples = list(warm)
+        for i, e in enumerate(res):
+            n = order + i
+            if order == 0:
+                v = e
+            elif order == 1:
+                v = e + samples[n - 1]
+            elif order == 2:
+                v = e + 2 * samples[n - 1] - samples[n - 2]
+            elif order == 3:
+                v = (e + 3 * samples[n - 1] - 3 * samples[n - 2]
+                     + samples[n - 3])
+            else:
+                v = (e + 4 * samples[n - 1] - 6 * samples[n - 2]
+                     + 4 * samples[n - 3] - samples[n - 4])
+            samples.append(v)
+    elif stype >= 32:  # LPC, order 1-32
+        order = stype - 31
+        warm = [r.signed(bps) for _ in range(order)]
+        precision = r.read(4) + 1
+        if precision == 16:
+            raise ValueError("invalid FLAC LPC precision")
+        shift = r.signed(5)
+        if shift < 0:
+            raise NotImplementedError("negative FLAC LPC shift")
+        coefs = [r.signed(precision) for _ in range(order)]
+        res = _flac_residual(r, blocksize, order)
+        samples = list(warm)
+        for e in res:
+            acc = 0
+            n = len(samples)
+            for j, c in enumerate(coefs):
+                acc += c * samples[n - 1 - j]
+            samples.append(e + (acc >> shift))
+    else:
+        raise ValueError(f"reserved FLAC subframe type {stype}")
+    if wasted:
+        samples = [s << wasted for s in samples]
+    return samples
+
+
+def _decode_flac(b: bytes) -> tuple[np.ndarray, int, int]:
+    """FLAC → (mono float samples in [-1, 1], rate, channels).
+
+    Pure stdlib/numpy subset decoder (format spec RFC 9639): STREAMINFO
+    + frame parse, CONSTANT/VERBATIM/FIXED/LPC subframes, rice-coded
+    residual partitions (4- and 5-bit params, escape codes),
+    left/right/mid-side stereo decorrelation, wasted bits, CRC-8 frame
+    headers and CRC-16 frames VERIFIED."""
+    if b[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    pos = 4
+    streaminfo = None
+    while pos + 4 <= len(b):
+        hdr = b[pos]
+        last = hdr >> 7
+        btype = hdr & 0x7F
+        ln = int.from_bytes(b[pos + 1: pos + 4], "big")
+        if btype == 0:
+            streaminfo = b[pos + 4: pos + 4 + ln]
+        pos += 4 + ln
+        if last:
+            break
+    if streaminfo is None or len(streaminfo) < 18:
+        raise ValueError("FLAC missing STREAMINFO")
+    si = _MSBReader(streaminfo)
+    si.read(16)  # min blocksize
+    si.read(16)  # max blocksize
+    si.read(24)  # min framesize
+    si.read(24)  # max framesize
+    rate = si.read(20)
+    channels = si.read(3) + 1
+    bps_si = si.read(5) + 1
+    total = si.read(36)
+
+    chans: list[list[int]] = [[] for _ in range(channels)]
+    while pos < len(b) - 2:
+        # frame sync: 14 bits 0b11111111111110
+        if b[pos] != 0xFF or (b[pos + 1] >> 2) != 0x3E:
+            raise ValueError("bad FLAC frame sync")
+        hdr_start = pos
+        # the 16 bits already checked cover sync(14) + reserved + blocking
+        r = _MSBReader(b, pos * 8 + 16)
+        bs_code = r.read(4)
+        sr_code = r.read(4)
+        ch_code = r.read(4)
+        bps_code = r.read(3)
+        r.read(1)  # reserved
+        _flac_utf8_number(r)
+        if bs_code == 6:
+            blocksize = r.read(8) + 1
+        elif bs_code == 7:
+            blocksize = r.read(16) + 1
+        elif bs_code in _FLAC_BLOCKSIZES:
+            blocksize = _FLAC_BLOCKSIZES[bs_code]
+        else:
+            raise ValueError("reserved FLAC blocksize code")
+        if sr_code == 12:
+            r.read(8)
+        elif sr_code in (13, 14):
+            r.read(16)
+        bps = _FLAC_BPS.get(bps_code, bps_si) if bps_code else bps_si
+        hdr_end = (r.pos + 7) // 8
+        if _crc8(b[hdr_start:hdr_end]) != r.read(8):
+            raise ValueError("FLAC frame header CRC mismatch")
+        if ch_code < 8:
+            n_sub = ch_code + 1
+            kinds = ["ind"] * n_sub
+        elif ch_code == 8:
+            n_sub, kinds = 2, ["left", "side"]
+        elif ch_code == 9:
+            n_sub, kinds = 2, ["side", "right"]
+        elif ch_code == 10:
+            n_sub, kinds = 2, ["mid", "side"]
+        else:
+            raise ValueError("reserved FLAC channel assignment")
+        if (ch_code < 8 and n_sub != channels) or (ch_code >= 8 and channels != 2):
+            raise ValueError("FLAC channel count mismatch")
+        subs = []
+        for kind in kinds:
+            sub_bps = bps + 1 if kind == "side" else bps
+            subs.append(_flac_subframe(r, blocksize, sub_bps))
+        r.align()
+        frame_end = r.pos // 8
+        if _crc16(b[hdr_start:frame_end]) != r.read(16):
+            raise ValueError("FLAC frame CRC mismatch")
+        pos = r.pos // 8
+        if ch_code < 8:
+            for c in range(channels):
+                chans[c].extend(subs[c])
+        elif ch_code == 8:  # left/side: right = left - side
+            chans[0].extend(subs[0])
+            chans[1].extend(l - s for l, s in zip(subs[0], subs[1]))
+        elif ch_code == 9:  # right/side: left = right + side
+            chans[0].extend(rv + s for rv, s in zip(subs[1], subs[0]))
+            chans[1].extend(subs[1])
+        else:  # mid/side
+            for m, s in zip(subs[0], subs[1]):
+                l = (m << 1) | (s & 1)
+                chans[0].append((l + s) >> 1)
+                chans[1].append((l - s) >> 1)
+    arr = np.array(chans, dtype=np.float64)
+    if total:
+        arr = arr[:, :total]
+    mono = arr.mean(axis=0) / float(1 << (bps_si - 1))
+    return mono, rate, channels
+
+
 def _decode_wav(b: bytes) -> tuple[np.ndarray, int, int]:
     """PCM 8/16-bit WAV → (mono float samples in [-1, 1], rate, channels)."""
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
@@ -790,7 +1069,7 @@ def _audio_feature(s: np.ndarray) -> np.ndarray:
 
 def _decode_stub(payload: bytes) -> tuple[int, int, np.ndarray]:
     """STUB for formats whose codecs don't ship in this container
-    (FLAC/video/arithmetic-JPEG): a deterministic fake (width, height, 8-dim
+    (video/arithmetic-JPEG/corrupt payloads): a deterministic fake (width, height, 8-dim
     feature) derived from the payload bytes so the pipeline shape stays
     fully exercisable.  Replace with PIL/ffmpeg in production."""
     h = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8).astype(np.float32)
@@ -823,6 +1102,9 @@ def decode_media(payload: bytes) -> tuple[str, int, int, bool, np.ndarray]:
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             s, rate, channels = _decode_wav(payload)
             return ("audio/wav", len(s), channels, True, _audio_feature(s))
+        if payload[:4] == b"fLaC":
+            s, rate, channels = _decode_flac(payload)
+            return ("audio/flac", len(s), channels, True, _audio_feature(s))
     except (ValueError, NotImplementedError, struct.error, zlib.error,
             IndexError, KeyError, EOFError):
         # A crawled corpus always contains payloads with valid magic bytes

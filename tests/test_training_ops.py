@@ -813,3 +813,228 @@ def test_png_unfilter_paeth_roundtrip():
            + chunk(b"IEND", b""))
     gray = multimodal._decode_png(png)
     assert np.array_equal(gray, img.astype(np.float64))
+
+
+class _MSBWriter:
+    """Test-side MSB-first bit writer (independent of the decoder)."""
+
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def write(self, v: int, n: int) -> None:
+        assert 0 <= v < (1 << n) or n == 0
+        self.bits.extend((v >> (n - 1 - i)) & 1 for i in range(n))
+
+    def signed(self, v: int, n: int) -> None:
+        self.write(v & ((1 << n) - 1), n)
+
+    def unary(self, q: int) -> None:
+        self.bits.extend([0] * q + [1])
+
+    def align(self) -> None:
+        while len(self.bits) % 8:
+            self.bits.append(0)
+
+    def tobytes(self) -> bytes:
+        self.align()
+        return bytes(
+            int("".join(map(str, self.bits[i:i + 8])), 2)
+            for i in range(0, len(self.bits), 8)
+        )
+
+
+def _flac_crc8(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _flac_crc16(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc ^= byte << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
+                else (crc << 1) & 0xFFFF
+    return crc
+
+
+def _rice_write(w: "_MSBWriter", residuals, param: int, escape_raw: int = 0):
+    """One partition, partition order 0."""
+    plen = 4
+    w.write(0, 2)            # coding method 0 (4-bit rice params)
+    w.write(0, 4)            # partition order 0
+    if escape_raw:
+        w.write(0xF, plen)   # escape: raw n-bit residuals
+        w.write(escape_raw, 5)
+        for e in residuals:
+            w.signed(e, escape_raw)
+        return
+    w.write(param, plen)
+    for e in residuals:
+        zz = (e << 1) ^ (e >> 63) if e >= 0 else ((-e) << 1) - 1
+        zz = (abs(e) << 1) - (1 if e < 0 else 0)
+        w.unary(zz >> param)
+        w.write(zz & ((1 << param) - 1), param)
+
+
+def _flac_subframe_write(w, samples, bps, kind, escape_raw=0):
+    """kind: constant | verbatim | fixed0 | fixed1 | fixed2 | lpc1"""
+    w.write(0, 1)  # pad
+    if kind == "constant":
+        w.write(0, 6)
+        w.write(0, 1)
+        w.signed(samples[0], bps)
+        return
+    if kind == "verbatim":
+        w.write(1, 6)
+        w.write(0, 1)
+        for s in samples:
+            w.signed(s, bps)
+        return
+    if kind.startswith("fixed"):
+        order = int(kind[-1])
+        w.write(8 + order, 6)
+        w.write(0, 1)
+        for s in samples[:order]:
+            w.signed(s, bps)
+        res = []
+        for n in range(order, len(samples)):
+            if order == 0:
+                e = samples[n]
+            elif order == 1:
+                e = samples[n] - samples[n - 1]
+            else:
+                e = samples[n] - 2 * samples[n - 1] + samples[n - 2]
+            res.append(e)
+    else:  # lpc1: order-1 LPC, coeff 2, shift 1 → predictor == s[n-1]
+        w.write(32, 6)  # 0b100000 → order 1
+        w.write(0, 1)
+        w.signed(samples[0], bps)
+        w.write(12 - 1, 4)  # precision 12
+        w.signed(1, 5)      # shift 1
+        w.signed(2, 12)     # coefficient 2
+        res = [samples[n] - ((2 * samples[n - 1]) >> 1)
+               for n in range(1, len(samples))]
+    mean = sum(abs(e) for e in res) // max(len(res), 1) + 1
+    param = min(14, max(0, int(mean).bit_length()))
+    _rice_write(w, res, param, escape_raw)
+
+
+def _make_flac(chans, rate=8000, bps=16, blocksize=64, modes=None,
+               stereo_mode="independent", escape_raw=0) -> bytes:
+    """Minimal FLAC encoder (test-side only, independently derived from
+    RFC 9639): fixed blocksize frames, rice partition order 0, subframe
+    kinds per block via `modes`, stereo decorrelation modes, correct
+    CRC-8/CRC-16."""
+    import struct as st
+
+    nch = len(chans)
+    n = len(chans[0])
+    out = bytearray(b"fLaC")
+    si = _MSBWriter()
+    si.write(blocksize, 16)
+    si.write(blocksize, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(rate, 20)
+    si.write(nch - 1, 3)
+    si.write(bps - 1, 5)
+    si.write(n, 36)
+    body = si.tobytes() + b"\x00" * 16  # md5 unset (not verified)
+    out += bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+    frame_i = 0
+    for start in range(0, n, blocksize):
+        blk = [ch[start:start + blocksize] for ch in chans]
+        bs = len(blk[0])
+        mode = (modes or ["fixed1"])[frame_i % len(modes or ["fixed1"])]
+        w = _MSBWriter()
+        w.write(0b11111111111110, 14)
+        w.write(0, 1)   # reserved
+        w.write(0, 1)   # fixed blocksize strategy
+        w.write(7, 4)   # blocksize: 16-bit value follows
+        w.write(0, 4)   # sample rate: from STREAMINFO
+        if nch == 2 and stereo_mode == "left_side":
+            w.write(8, 4)
+        elif nch == 2 and stereo_mode == "right_side":
+            w.write(9, 4)
+        elif nch == 2 and stereo_mode == "mid_side":
+            w.write(10, 4)
+        else:
+            w.write(nch - 1, 4)
+        w.write({8: 1, 16: 4}[bps], 3)
+        w.write(0, 1)
+        assert frame_i < 128
+        w.write(frame_i, 8)  # UTF-8 single byte
+        w.write(bs - 1, 16)
+        hdr = w.tobytes()
+        hdr += bytes([_flac_crc8(hdr)])
+        w2 = _MSBWriter()
+        if nch == 2 and stereo_mode != "independent":
+            l, r = blk
+            side = [a - c for a, c in zip(l, r)]
+            if stereo_mode == "left_side":
+                subs = [(l, bps), (side, bps + 1)]
+            elif stereo_mode == "right_side":
+                subs = [(side, bps + 1), (r, bps)]
+            else:
+                mid = [(a + c) >> 1 for a, c in zip(l, r)]
+                subs = [(mid, bps), (side, bps + 1)]
+            for s, sb in subs:
+                _flac_subframe_write(w2, s, sb, mode, escape_raw)
+        else:
+            for ch in blk:
+                _flac_subframe_write(w2, ch, bps, mode, escape_raw)
+        frame = hdr + w2.tobytes()
+        frame += st.pack(">H", _flac_crc16(frame))
+        out += frame
+        frame_i += 1
+    return bytes(out)
+
+
+def test_flac_decoder_roundtrip():
+    """FLAC decode is REAL: an independently-written encoder's output
+    (constant/verbatim/fixed-0..2/LPC subframes, rice + escape-raw
+    residuals, all three stereo decorrelation modes, CRC-8/16) decodes
+    back to the exact samples."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    n = 256
+    t = np.arange(n)
+    left = (3000 * np.sin(t / 7.0) + rng.randint(-400, 400, n)).astype(int)
+    right = (2000 * np.cos(t / 11.0) + rng.randint(-400, 400, n)).astype(int)
+    mono_expect = (left + right) / 2.0 / 32768.0
+
+    for stereo in ("independent", "left_side", "right_side", "mid_side"):
+        for modes in (["fixed0"], ["fixed1"], ["fixed2"], ["verbatim"],
+                      ["lpc1"], ["fixed1", "verbatim", "fixed2", "lpc1"]):
+            payload = _make_flac([list(left), list(right)],
+                                 modes=modes, stereo_mode=stereo)
+            mt, w, h, ok, feat = multimodal.decode_media(payload)
+            assert (mt, w, h, ok) == ("audio/flac", n, 2, True), (stereo, modes)
+            s, rate, channels = multimodal._decode_flac(payload)
+            assert rate == 8000 and channels == 2
+            assert np.abs(s - mono_expect).max() < 1e-12, (stereo, modes)
+
+    # constant blocks + escape-raw residual coding
+    const = [100] * 128
+    payload = _make_flac([const], modes=["constant"])
+    s, _, _ = multimodal._decode_flac(payload)
+    assert np.allclose(s, 100 / 32768.0)
+    payload = _make_flac([list(left)], modes=["fixed1"], escape_raw=17)
+    s, _, _ = multimodal._decode_flac(payload)
+    assert np.abs(s - left / 32768.0).max() < 1e-12
+
+    # corrupted CRC must be detected (falls back to the stub upstream)
+    bad = bytearray(_make_flac([list(left)], modes=["fixed1"]))
+    bad[-1] ^= 0xFF
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        multimodal._decode_flac(bytes(bad))
+    mt, _, _, ok, _ = multimodal.decode_media(bytes(bad))
+    assert ok is False
