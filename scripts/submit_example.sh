@@ -13,6 +13,13 @@ REPO="$(cd "$(dirname "$0")/.." && pwd)"
 ZIP="$(mktemp -d)/address_matcher_spark.zip"
 (cd "$REPO" && zip -qr "$ZIP" address_matcher_spark)
 
+# Optional 100 TB dimension-reuse path: export AM_BUCKETED_REF_DIR=<dir>
+# (+ AM_REF_BUCKETS, default 32) to materialise the standardised
+# reference ONCE as tables bucketed on the block key; later runs
+# re-declare over the files and plan ref-side work exchange-free.
+#
+# The pipeline runs under a DEFAULT session (no caseSensitive override:
+# the ref-side LPI `Postcode` is renamed `postcode_ref` internally).
 spark-submit \
   --master "$MASTER" \
   --num-executors "$EXECUTORS" \
@@ -21,5 +28,4 @@ spark-submit \
   --conf spark.sql.adaptive.skewJoin.enabled=true \
   --conf spark.sql.execution.arrow.pyspark.enabled=true \
   --conf spark.sql.execution.arrow.maxRecordsPerBatch=20000 \
-  --conf spark.sql.caseSensitive=true \
   "$REPO/scripts/job_match.py"
