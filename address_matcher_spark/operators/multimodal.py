@@ -1067,6 +1067,39 @@ def _audio_feature(s: np.ndarray) -> np.ndarray:
     return np.array([rms, zcr, float(s.mean()), float(np.abs(s).max()), *env])
 
 
+def _parse_avi_header(b: bytes) -> tuple[int, int, int]:
+    """AVI container metadata (no frame decode): walk RIFF chunks to the
+    hdrl LIST's avih main header → (width, height, total_frames).
+    Codec payloads stay stubbed; the container parse is real so video
+    rows carry true dimensions."""
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+
+    def walk(pos: int, end: int):
+        while pos + 8 <= end:
+            cid = b[pos: pos + 4]
+            ln = struct.unpack_from("<I", b, pos + 4)[0]
+            body_start = pos + 8
+            if cid == b"LIST":
+                ltype = b[body_start: body_start + 4]
+                if ltype in (b"hdrl", b"avih"):
+                    found = walk(body_start + 4, body_start + ln - 4)
+                    if found:
+                        return found
+            elif cid == b"avih":
+                frames = struct.unpack_from("<I", b, body_start + 16)[0]
+                w = struct.unpack_from("<I", b, body_start + 32)[0]
+                h = struct.unpack_from("<I", b, body_start + 36)[0]
+                return w, h, frames
+            pos = body_start + ln + (ln & 1)
+        return None
+
+    found = walk(12, len(b))
+    if not found:
+        raise ValueError("AVI missing avih header")
+    return found
+
+
 def _decode_stub(payload: bytes) -> tuple[int, int, np.ndarray]:
     """STUB for formats whose codecs don't ship in this container
     (video/arithmetic-JPEG/corrupt payloads): a deterministic fake (width, height, 8-dim
@@ -1105,6 +1138,12 @@ def decode_media(payload: bytes) -> tuple[str, int, int, bool, np.ndarray]:
         if payload[:4] == b"fLaC":
             s, rate, channels = _decode_flac(payload)
             return ("audio/flac", len(s), channels, True, _audio_feature(s))
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            # container metadata is REAL (true dimensions); frame decode
+            # stays the declared stub → decoded=False
+            w, hh, _frames = _parse_avi_header(payload)
+            _sw, _sh, feat = _decode_stub(payload)
+            return ("video/avi", w, hh, False, feat)
     except (ValueError, NotImplementedError, struct.error, zlib.error,
             IndexError, KeyError, EOFError):
         # A crawled corpus always contains payloads with valid magic bytes

@@ -1038,3 +1038,31 @@ def test_flac_decoder_roundtrip():
         multimodal._decode_flac(bytes(bad))
     mt, _, _, ok, _ = multimodal.decode_media(bytes(bad))
     assert ok is False
+
+
+def _make_avi(w, h, frames) -> bytes:
+    """Minimal AVI container (test-side): RIFF/AVI  + LIST hdrl + avih
+    main header; no movi payload needed for the metadata parse."""
+    import struct as st
+
+    avih = st.pack("<IIIIIIIIIIIIII",
+                   33367, 0, 0, 0x10, frames, 0, 1, 0, w, h, 0, 0, 0, 0)
+    avih_chunk = b"avih" + st.pack("<I", len(avih)) + avih
+    hdrl = b"hdrl" + avih_chunk
+    hdrl_list = b"LIST" + st.pack("<I", len(hdrl)) + hdrl
+    movi = b"movi"
+    movi_list = b"LIST" + st.pack("<I", len(movi)) + movi
+    body = b"AVI " + hdrl_list + movi_list
+    return b"RIFF" + st.pack("<I", len(body)) + body
+
+
+def test_avi_container_metadata():
+    """Video stays a declared stub for FRAME decode, but the container
+    parse is real: true dimensions from avih, decoded=False."""
+    payload = _make_avi(640, 360, 42)
+    mt, w, h, ok, feat = multimodal.decode_media(payload)
+    assert (mt, w, h, ok) == ("video/avi", 640, 360, False)
+    assert multimodal._parse_avi_header(payload) == (640, 360, 42)
+    # truncated container falls back to the stub entirely
+    mt2, _, _, ok2, _ = multimodal.decode_media(payload[:16])
+    assert ok2 is False
