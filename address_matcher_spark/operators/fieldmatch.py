@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from address_matcher_spark.operators import blocking, select, verify
+from address_matcher_spark.operators import _util, blocking, select, verify
 
 # tools/constants.py:238-268
 MATCHING_VARIABLES = [
@@ -220,6 +220,7 @@ def field_candidates(
     ref_std: DataFrame,
     blocker: str,
     cfg,
+    residue_rows: int | None = None,
 ) -> DataFrame:
     """Candidate stage of the field pass: block → per-block grid salting →
     cogrouped Arrow field score (field_cross_score) → global per-record
@@ -245,7 +246,11 @@ def field_candidates(
         "__bk", blocking.salt_target_pairs_for(s.sparkSession, cfg),
     )
     keys = ["__bk", *extra]
-    npart = s.sparkSession.sparkContext.defaultParallelism
+    # residue-scaled like the fuzzy passes (scoring_npart): the late field
+    # passes attempt a small residue, and a flat dp partition count made
+    # them rescan-shaped — dp*8 over-decomposition on a full corpus,
+    # scaled down toward dp as the residue shrinks
+    npart = _util.scoring_npart(s.sparkSession, residue_rows)
     s_salted = s_salted.repartition(npart, *[F.col(k) for k in keys])
     r_salted = r_salted.repartition(npart, *[F.col(k) for k in keys])
     cand = field_cross_score(s_salted, r_salted, keys)
@@ -258,6 +263,8 @@ def field_pass(
     blocker: str,
     cfg,
     pass_name: str,
+    broadcast_ref: bool | None = None,
+    residue_rows: int | None = None,
 ) -> DataFrame:
     """J4 block → J5 per-field compare → P6 weighted sum → A2 max → D8 →
     D4-D7 verify → W5 best-per-record.  Output schema matches fuzzy_pass
@@ -268,13 +275,22 @@ def field_pass(
     cross-score (field_cross_score, O(rows) transfer), window shortlist,
     join-back, verify."""
     cutoff = cfg.score_cut_off_street if blocker == "Street" else cfg.score_cut_off
-    shortlist = field_candidates(search_std, ref_std, blocker, cfg)
+    # same resolution order as fuzzy_pass: the waterfall threads its
+    # once-measured byte decision in; a direct caller falls back to cfg,
+    # then to a fresh byte measurement — never an unconditional broadcast
+    # (round 4 force-broadcast the full ref side here whenever
+    # cfg.broadcast_ref was None: executor OOM above broadcast_max_bytes)
+    if broadcast_ref is None:
+        broadcast_ref = cfg.broadcast_ref
+    if broadcast_ref is None:
+        broadcast_ref = _util.should_broadcast(ref_std, cfg.broadcast_max_bytes)
+    shortlist = field_candidates(search_std, ref_std, blocker, cfg, residue_rows)
     shortlist = shortlist.join(
         search_std.drop("street_key", "postcode_search"), "record_id"
     )
     ref_back = ref_std.drop("postcode_search", "street_key")
     shortlist = shortlist.join(
-        F.broadcast(ref_back) if cfg.broadcast_ref is not False else ref_back,
+        F.broadcast(ref_back) if broadcast_ref else ref_back,
         "ref_id",
     )
     shortlist = verify.add_decisions(

@@ -86,6 +86,72 @@ def test_field_pass_cogrouped_in_plan(tiny_sides):
     assert "CartesianProduct" not in plan
 
 
+def _ref_id_broadcast_joins(plan: str) -> int:
+    """Count BroadcastHashJoin nodes keyed on ref_id — the shortlist→ref
+    join-back.  (The per-block salting histogram join is ALSO an explicit
+    broadcast by design, so a blanket no-BroadcastHashJoin assert would
+    be wrong.)"""
+    return sum(
+        1 for line in plan.splitlines()
+        if "BroadcastHashJoin" in line and "ref_id" in line
+    )
+
+
+@pytest.fixture()
+def no_auto_broadcast(spark):
+    """Disable Spark's size-based auto-broadcast so any BroadcastHashJoin
+    in the plan must come from an explicit F.broadcast hint."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_field_pass_honours_measured_broadcast_decision(
+    tiny_sides, no_auto_broadcast
+):
+    """VERDICT r4 'What's wrong #1': with the ref side above the broadcast
+    ceiling the field passes must fall back to a shuffled equi-join, same
+    as the fuzzy passes — a forced multi-GB broadcast is an executor OOM
+    at scale.  broadcast_max_bytes=0 forces the measured decision to
+    False; the ref_id join-back must then NOT be a broadcast join."""
+    from address_matcher_spark.operators import fieldmatch as FM
+
+    smin, rmin, cfg = tiny_sides
+    import dataclasses
+    no_bc = dataclasses.replace(cfg, broadcast_max_bytes=0, broadcast_ref=None)
+    s, r = smin.localCheckpoint(), rmin.localCheckpoint()
+    for blocker in ("Postcode", "Street"):
+        plan = _plan(FM.field_pass(s, r, blocker, no_bc, "plan_test"))
+        assert _ref_id_broadcast_joins(plan) == 0, blocker
+    # and the explicitly-threaded True decision still broadcasts
+    plan_bc = _plan(FM.field_pass(s, r, "Postcode", no_bc, "plan_test",
+                                  broadcast_ref=True))
+    assert _ref_id_broadcast_joins(plan_bc) == 1
+    # fuzzy_pass direct-caller default resolves to the measured decision too
+    plan_fz = _plan(P.fuzzy_pass(s, r, "Postcode", no_bc, "plan_test"))
+    assert _ref_id_broadcast_joins(plan_fz) == 0
+
+
+def test_waterfall_results_identical_without_broadcast(spark, tiny_sides):
+    """The shuffled-join fallback is a pure physical-strategy change:
+    the full 8-pass waterfall returns the same rows either way."""
+    import dataclasses
+
+    smin, rmin, _ = tiny_sides
+    cfg = P.MatchConfig()
+    sfull, rfull = smin, rmin  # min sides stand in for both levels here
+
+    def run(max_bytes):
+        c = dataclasses.replace(cfg, broadcast_max_bytes=max_bytes)
+        out = P.run_waterfall(smin, sfull, rmin, rfull, c)
+        cols = ["record_id", "ref_id", "fuzzy_score", "full_match",
+                "match_method"]
+        return sorted(tuple(r) for r in out.select(*cols).collect())
+
+    assert run(0) == run(256 * 1024 * 1024)
+
+
 def test_semi_join_prefilter_in_plan(tiny_sides):
     """The reference side is prefiltered with a LeftSemi join before any
     scoring (J3/X3) — ref blocks nobody searches never ship."""
