@@ -192,10 +192,13 @@ def field_cross_score(
                        K.jaro_winkler_grid)
         for c in lev_cols:
             # postcode is block-constant inside a postcode block (rank-1
-            # path) and low-cardinality inside a street block — the
-            # scalar grid stays off the hot path
+            # path), but VARIES ON BOTH SIDES inside a street block — a
+            # big-city street can hold hundreds of distinct postcodes per
+            # side, so the distinct-pair grid runs on the lockstep Myers
+            # lane (K.levenshtein_sim_grid, exact vs the scalar DP,
+            # ~4.3M pairs/s vs ~190k/s interpreted)
             accumulate(_txt(left[f"p_{c}"]), _txt(right[REF_COL.get(c, c)]),
-                       WEIGHTS[c], _lev_sim)
+                       WEIGHTS[c], _lev_sim, K.levenshtein_sim_grid)
         total += row_acc[:, None]
         total += col_acc[None, :]
         total += const_acc

@@ -202,3 +202,67 @@ def test_jw_grid_property(lu, ru):
         for j, b in enumerate(ru):
             want = K.jaro_winkler_similarity(a, b) if a and b else 0.0
             assert got[i, j] == want, (a, b)
+
+
+def test_levenshtein_grid_matches_scalar_exact():
+    """levenshtein_grid (the lockstep Myers lane feeding the street-blocked
+    field passes, where the postcode varies on BOTH sides of a block) must
+    be exact vs the scalar DP over a grid mixing normal, empty, word-edge,
+    over-long and non-latin-1 values."""
+    import random
+    import string
+
+    rng = random.Random(99)
+    alpha = string.ascii_lowercase + " 0123456789"
+
+    def rand_str(lo, hi):
+        return "".join(rng.choice(alpha) for _ in range(rng.randint(lo, hi)))
+
+    lu = [rand_str(1, 12) for _ in range(40)] + [
+        "", "a" * 63, "a" * 64, "a" * 65, "naïve café", "sw19 7qx",
+    ]
+    ru = [rand_str(1, 12) for _ in range(35)] + [
+        "", "b" * 64, "x" * 120, "日本語", "sw19 7qd",
+    ]
+    got = K.levenshtein_grid(lu, ru)
+    want = np.array([[K.levenshtein(a, b) for b in ru] for a in lu])
+    assert got.shape == want.shape
+    assert (got == want).all()
+
+
+def test_levenshtein_sim_grid_matches_field_pass_scalar():
+    """levenshtein_sim_grid must reproduce the field pass's _lev_sim
+    expression (1 - d/max(len), 0.0 on two empties) bit-for-bit."""
+    lu = ["sw19 7qx", "ec1a 1bb", "", " ", "n1 9gu"]
+    ru = ["sw19 7qd", "ec1a1bb", "", " ", "n19 gu", "w1a 0ax"]
+    got = K.levenshtein_sim_grid(lu, ru)
+    for i, a in enumerate(lu):
+        for j, b in enumerate(ru):
+            m = max(len(a), len(b))
+            want = 0.0 if m == 0 else 1.0 - K.levenshtein(a, b) / m
+            assert got[i, j] == want, (a, b)
+
+
+@given(
+    st.lists(st.text(alphabet="abc1 ", max_size=10), min_size=1, max_size=9),
+    st.lists(st.text(alphabet="abc1 ", max_size=10), min_size=1, max_size=9),
+)
+@settings(max_examples=50, deadline=None)
+def test_levenshtein_grid_property(lu, ru):
+    got = K.levenshtein_grid(lu, ru)
+    for i, a in enumerate(lu):
+        for j, b in enumerate(ru):
+            assert got[i, j] == K.levenshtein(a, b), (a, b)
+
+
+def test_jw_batch_and_batch_apply_handle_missing():
+    """None/NaN normalize to '' BEFORE factorization — factorize's -1
+    missing code otherwise corrupts the pair-key indexing (a 'abc'-vs-None
+    pair scored 0.822 instead of 0.0)."""
+    left = ["abc", None, float("nan"), "abc", None]
+    right = [None, "abc", "abc", "abc", None]
+    got = K.jaro_winkler_batch(left, right)
+    want = [0.0, 0.0, 0.0, 1.0, 0.0]
+    assert got.tolist() == want
+    got_r = K.ratio_batch(left, right)
+    assert got_r.tolist() == [0.0, 0.0, 0.0, 100.0, 100.0]
