@@ -38,11 +38,16 @@ def postcode_area(col: Column) -> Column:
 def joined_address_length(address_cols) -> Column:
     """The reference's ``address_cols_joined`` length check
     (tools/matcher_funcs.py:561-565): fillna('') each address column,
-    concatenate WITHOUT separator, strip, measure.  Stripping uses a
-    \\s regexp (pandas .strip() removes ALL whitespace; F.trim only
-    ASCII spaces — an address of tabs/newlines must count as empty)."""
+    concatenate WITHOUT separator, strip, measure.  Stripping matches
+    pandas str.strip() (= str.isspace()) exactly: (?U) makes Java's \\s
+    the Unicode White_Space class (covers U+00A0, U+2000-200A, U+3000,
+    ...), and the explicit \\x1c-\\x1f adds the file/group separators
+    Python's isspace() strips but White_Space doesn't include.  Plain
+    ASCII \\s left an address of non-breaking spaces counted non-empty
+    here but empty (EXCL_LEN0) in the reference."""
     parts = [F.coalesce(F.col(c).cast("string"), F.lit("")) for c in address_cols]
-    return F.length(F.regexp_replace(F.concat(*parts), r"^\s+|\s+$", ""))
+    ws = r"(?U)^[\s\x1c-\x1f]+|[\s\x1c-\x1f]+$"
+    return F.length(F.regexp_replace(F.concat(*parts), ws, ""))
 
 
 def label_area_exclusions(

@@ -968,7 +968,15 @@ def _decode_flac(b: bytes) -> tuple[np.ndarray, int, int]:
             r.read(8)
         elif sr_code in (13, 14):
             r.read(16)
-        bps = _FLAC_BPS.get(bps_code, bps_si) if bps_code else bps_si
+        # bps code 0 = "get from STREAMINFO"; 3 is RESERVED per RFC 9639
+        # §9.1.4 — a silent fallback to the STREAMINFO bps let corrupt
+        # headers decode garbage that still passed the pre-CRC parse
+        if bps_code == 0:
+            bps = bps_si
+        elif bps_code in _FLAC_BPS:
+            bps = _FLAC_BPS[bps_code]
+        else:
+            raise ValueError("reserved FLAC bits-per-sample code")
         hdr_end = (r.pos + 7) // 8
         if _crc8(b[hdr_start:hdr_end]) != r.read(8):
             raise ValueError("FLAC frame header CRC mismatch")
@@ -1083,7 +1091,11 @@ def _parse_avi_header(b: bytes) -> tuple[int, int, int]:
             if cid == b"LIST":
                 ltype = b[body_start: body_start + 4]
                 if ltype in (b"hdrl", b"avih"):
-                    found = walk(body_start + 4, body_start + ln - 4)
+                    # the LIST size ln INCLUDES the 4-byte list type, so
+                    # children span [body_start+4, body_start+ln) — an
+                    # `ln - 4` end truncated every LIST's last 4 bytes and
+                    # could miss a trailing child chunk
+                    found = walk(body_start + 4, body_start + ln)
                     if found:
                         return found
             elif cid == b"avih":

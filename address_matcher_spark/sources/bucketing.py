@@ -23,7 +23,63 @@ replacement for that pattern, not a port of it.
 
 from __future__ import annotations
 
+import json
+import re
+
 from pyspark.sql import DataFrame, SparkSession
+
+# sidecar persisted next to _SUCCESS at write time; the re-declare path
+# validates against it (the CLUSTERED BY declaration is TRUSTED by Spark —
+# files hashed with a different key/bucket-count would silently misroute
+# rows through every "exchange-free" join)
+_SIDECAR = "_bucket_spec.json"
+
+
+def _fs(spark: SparkSession, p: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(p)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
+
+
+def _write_text(spark: SparkSession, p: str, text: str) -> None:
+    fs, hpath, _ = _fs(spark, p)
+    out = fs.create(hpath, True)
+    out.write(bytearray(text.encode("utf-8")))
+    out.close()
+
+
+def _read_text(spark: SparkSession, p: str) -> str | None:
+    fs, hpath, jvm = _fs(spark, p)
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, True)
+    return bytes(baos.toByteArray()).decode("utf-8")
+
+
+def _bucket_spec(df: DataFrame, key: str, n_buckets: int, sort: bool) -> dict:
+    return {
+        "key": key,
+        "n_buckets": n_buckets,
+        "sort": sort,
+        "schema": [[f.name, f.dataType.simpleString()] for f in df.schema.fields],
+    }
+
+
+_BUCKET_ID_RE = re.compile(r"_(\d{5})\.c\d+")
+
+
+def _file_bucket_ids(spark: SparkSession, path: str) -> set[int]:
+    """Bucket ids parsed from the data filenames (Spark writes
+    part-...-<uuid>_<bucketid>.c000.parquet)."""
+    fs, hpath, _ = _fs(spark, path)
+    ids: set[int] = set()
+    for st in fs.listStatus(hpath):
+        m = _BUCKET_ID_RE.search(st.getPath().getName())
+        if m:
+            ids.add(int(m.group(1)))
+    return ids
 
 
 def write_bucketed(
@@ -35,7 +91,9 @@ def write_bucketed(
     sort: bool = True,
 ) -> None:
     """Persist df as a bucketed (+ sorted) parquet table in the session
-    catalog.  `path` overrides the warehouse location (external table)."""
+    catalog.  `path` overrides the warehouse location (external table);
+    external writes also persist a _bucket_spec.json sidecar so later
+    sessions can VALIDATE the layout before re-declaring it."""
     writer = df.write.format("parquet").mode("overwrite")
     if path:
         writer = writer.option("path", path)
@@ -43,6 +101,11 @@ def write_bucketed(
     if sort:
         writer = writer.sortBy(key)
     writer.saveAsTable(table)
+    if path:
+        _write_text(
+            df.sparkSession, f"{path}/{_SIDECAR}",
+            json.dumps(_bucket_spec(df, key, n_buckets, sort)),
+        )
 
 
 def _path_has_success(spark: SparkSession, path: str) -> bool:
@@ -52,6 +115,46 @@ def _path_has_success(spark: SparkSession, path: str) -> bool:
     hpath = jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS")
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     return bool(fs.exists(hpath))
+
+
+def _validate_bucket_layout(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    key: str,
+    n_buckets: int,
+    sort: bool,
+) -> None:
+    """Raise unless the on-disk layout matches what the caller is about to
+    declare.  CREATE TABLE ... CLUSTERED BY over existing files is a pure
+    TRUST declaration: if AM_REF_BUCKETS or the standardisation schema
+    changed between runs, Spark would assume a hash partitioning the files
+    don't have and exchange-free joins would silently drop/misroute rows."""
+    raw = _read_text(spark, f"{path}/{_SIDECAR}")
+    if raw is None:
+        raise ValueError(
+            f"bucketed table at {path} has no {_SIDECAR} sidecar; cannot "
+            "prove its bucket layout matches the declaration — rewrite the "
+            "table (delete the directory) or restore the sidecar"
+        )
+    spec = json.loads(raw)
+    want = _bucket_spec(df, key, n_buckets, sort)
+    for field in ("key", "n_buckets", "sort", "schema"):
+        if spec.get(field) != want[field]:
+            raise ValueError(
+                f"bucketed table at {path} was written with {field}="
+                f"{spec.get(field)!r} but the current run declares "
+                f"{want[field]!r}; refusing to re-declare (joins would "
+                "silently misroute rows) — rewrite the table or align the "
+                "configuration"
+            )
+    ids = _file_bucket_ids(spark, path)
+    if ids and max(ids) >= n_buckets:
+        raise ValueError(
+            f"bucketed table at {path} contains bucket-id {max(ids)} >= "
+            f"declared bucket count {n_buckets}; files do not match the "
+            "sidecar — rewrite the table"
+        )
 
 
 def ensure_bucketed_ref(
@@ -78,6 +181,7 @@ def ensure_bucketed_ref(
     if spark.catalog.tableExists(table):
         return spark.table(table)
     if path is not None and _path_has_success(spark, path):
+        _validate_bucket_layout(spark, df, path, key, n_buckets, sort)
         ddl = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
         )

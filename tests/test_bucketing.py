@@ -218,3 +218,58 @@ def test_bucketed_ref_reregisters_without_rewrite(spark, tmp_path, er_sides):
     )
     assert "Exchange hashpartitioning" not in plan
     spark.sql("DROP TABLE IF EXISTS t_am_ref_rereg")
+
+
+def test_bucketed_ref_redeclare_validates_sidecar(spark, tmp_path, er_sides):
+    """ADVICE r4: CREATE TABLE ... CLUSTERED BY over existing files is a
+    pure trust declaration — re-declaring with a different bucket count,
+    key, or schema must RAISE, not silently misdeclare (Spark would
+    assume a hash partitioning the files don't have and exchange-free
+    joins would drop/misroute rows)."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    path = str(tmp_path / "ref_min_spec")
+    BK.ensure_bucketed_ref(
+        spark, er_sides["rmin"], "t_am_ref_spec", n_buckets=8, path=path,
+    )
+    assert os.path.exists(os.path.join(path, "_bucket_spec.json"))
+    spark.sql("DROP TABLE t_am_ref_spec")
+
+    # changed bucket count -> refuse
+    with _pytest.raises(ValueError, match="n_buckets"):
+        BK.ensure_bucketed_ref(
+            spark, er_sides["rmin"], "t_am_ref_spec", n_buckets=16, path=path,
+        )
+    # changed schema -> refuse
+    with _pytest.raises(ValueError, match="schema"):
+        BK.ensure_bucketed_ref(
+            spark, er_sides["rmin"].drop("street_key"), "t_am_ref_spec",
+            n_buckets=8, path=path,
+        )
+    # missing sidecar -> refuse (cannot prove the layout)
+    os.remove(os.path.join(path, "_bucket_spec.json"))
+    # the local ChecksumFileSystem keeps a .crc shadow; drop it so the
+    # hand-written sidecar below reads cleanly
+    crc = os.path.join(path, "._bucket_spec.json.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    with _pytest.raises(ValueError, match="sidecar"):
+        BK.ensure_bucketed_ref(
+            spark, er_sides["rmin"], "t_am_ref_spec", n_buckets=8, path=path,
+        )
+    # sidecar disagreeing with the files' bucket ids -> refuse
+    spec = {
+        "key": "postcode_search", "n_buckets": 4, "sort": True,
+        "schema": [[f.name, f.dataType.simpleString()]
+                   for f in er_sides["rmin"].schema.fields],
+    }
+    with open(os.path.join(path, "_bucket_spec.json"), "w") as fh:
+        json.dump(spec, fh)
+    with _pytest.raises(ValueError, match="bucket-id"):
+        BK.ensure_bucketed_ref(
+            spark, er_sides["rmin"], "t_am_ref_spec", n_buckets=4, path=path,
+        )
+    assert not spark.catalog.tableExists("t_am_ref_spec")

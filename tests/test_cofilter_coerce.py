@@ -70,6 +70,31 @@ def test_area_cofilter_len0_precedence(spark, ref_df):
     assert {r["record_id"] for r in kept.collect()} == {1}
 
 
+def test_len0_strip_matches_pandas_unicode(spark, ref_df):
+    """ADVICE r4: pandas .strip() removes Unicode whitespace (and the
+    \\x1c-\\x1f separators via str.isspace()) — an address of only
+    non-breaking spaces / ideographic spaces / file separators must count
+    as length 0, exactly like the reference's pandas path."""
+    s = spark.createDataFrame(
+        [dict(record_id=1, address_line1="\u00a0\u00a0", address_line2="",
+              town="\u00a0", postcode="SW9 7QD"),          # NBSP only
+         dict(record_id=2, address_line1="\u3000\u2003", address_line2=None,
+              town="", postcode="SW9 7QD"),                # CJK + em space
+         dict(record_id=3, address_line1="\x1c\x1d", address_line2="\x1f",
+              town="", postcode="SW9 7QD"),                # file separators
+         dict(record_id=4, address_line1="\u00a012 oak rd\u3000",
+              address_line2="", town="", postcode="SW9 7QD")]  # real content
+    )
+    cols = ("address_line1", "address_line2", "town")
+    _, _, labeled = C.area_cofilter(s, ref_df, address_cols=cols)
+    labels = {r["record_id"]: r[C.EXCLUSION_COL] for r in labeled.collect()}
+    # python-side oracle: the reference does "".join(cols).strip()
+    assert labels[1] == C.EXCL_LEN0
+    assert labels[2] == C.EXCL_LEN0
+    assert labels[3] == C.EXCL_LEN0
+    assert labels[4] == C.INCLUDED
+
+
 def test_prior_exclusion_and_incremental_rerun(spark, search_df, ref_df):
     """F4/J11 done-criterion: a second run attempts ONLY the residue."""
     prior = spark.createDataFrame(
