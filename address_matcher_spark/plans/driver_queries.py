@@ -965,7 +965,8 @@ _register("er_pipeline_decisions", _pipeline_decisions_q,
 
 def _pipeline_rows_only(spark, sf):
     """The real fuzzy waterfall on synthetic pages (token_set_ratio is not
-    SQL-expressible — rows-only check; full verification lives in pytest)."""
+    SQL-expressible — rows-only check; output hash-pinned at the fixed
+    seed in tests/test_rows_only_golden.py, kernel parity in pytest)."""
     from address_matcher_spark import datagen
     from address_matcher_spark.plans import pipeline as P
 
@@ -984,6 +985,9 @@ def _pipeline_rows_only(spark, sf):
 
 
 def _clusters_rows_only(spark, sf):
+    """Rows-only (composes the fuzzy waterfall); output hash-pinned in
+    tests/test_rows_only_golden.py, CC semantics oracle-green via
+    er_connected_components."""
     from address_matcher_spark.operators.cluster import cluster_records
 
     res = _pipeline_rows_only(spark, sf)
@@ -1001,6 +1005,9 @@ def _simhash_rows_only(spark, sf):
 
 
 def _multimodal_rows_only(spark, sf):
+    """Rows-only (payload decode is not SQL-expressible); output
+    hash-pinned in tests/test_rows_only_golden.py, decoder parity vs
+    independently-written encoders in tests/test_training_ops.py."""
     register_views(spark, sf)
     from address_matcher_spark.operators import multimodal as M
 
@@ -1021,7 +1028,8 @@ def _single_address_rows_only(spark, sf):
     last-column-is-postcode reference extract (exercising the S3 coercion
     too).  Cheap insurance the one-call user API stays healthy under the
     driver's default session.  Rows-only: the waterfall's fuzzy kernel is
-    not SQL-expressible."""
+    not SQL-expressible; output hash-pinned in
+    tests/test_rows_only_golden.py."""
     register_views(spark, sf)
     from address_matcher_spark import api
 
@@ -1362,7 +1370,8 @@ def _nn_parse_rows_only(spark, sf):
     weights + chunked mapInPandas (ref tools/model_predict.py:180-230).
     The tiny fixed-seed model stands in for unshipped trained weights;
     the harness (broadcast, batching, schema) is the unit under test —
-    parity + batching-invariance live in tests/test_nnparse.py."""
+    parity + batching-invariance live in tests/test_nnparse.py; output
+    hash-pinned in tests/test_rows_only_golden.py."""
     from address_matcher_spark.operators import nnparse as N
 
     register_views(spark, sf)
