@@ -510,16 +510,23 @@ def _decode_jpeg_progressive(b: bytes) -> np.ndarray:
     chroma AC scans are SKIPPED wholesale (each scan is a self-contained
     entropy segment) — chroma DC is entropy-decoded only where a DC scan
     interleaves it with Y, to keep the bitstream in sync.  Arithmetic
-    coding and restart markers raise NotImplementedError (declared
-    fallback to the stub)."""
+    coding raises NotImplementedError (declared fallback to the stub).
+    DRI/RSTn restarts split each scan into byte-aligned segments — DC
+    predictors and EOB runs reset at every boundary; the restart
+    interval counts MCUs, and in a non-interleaved scan one MCU is one
+    block (B.2.1.2)."""
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None
+    restart_interval = 0
     ycoef = None  # int64 [grid_by, grid_bx, 64] zigzag-order coefficients
 
-    def scan_segment(start: int) -> tuple[bytes, int]:
+    def scan_segments(start: int) -> tuple[list[bytes], int]:
+        """Entropy data split at RSTn markers (stuffing stripped), like
+        the baseline path; stops at the next real marker."""
+        segs: list[bytes] = []
         raw = bytearray()
         p = start
         while p < len(b) - 1:
@@ -531,11 +538,15 @@ def _decode_jpeg_progressive(b: bytes) -> np.ndarray:
                     p += 2
                     continue
                 if 0xD0 <= nxt <= 0xD7:
-                    raise NotImplementedError("JPEG restart markers")
+                    segs.append(bytes(raw))
+                    raw = bytearray()
+                    p += 2
+                    continue
                 break
             raw.append(byte)
             p += 1
-        return bytes(raw), p
+        segs.append(bytes(raw))
+        return segs, p
 
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
@@ -579,9 +590,8 @@ def _decode_jpeg_progressive(b: bytes) -> np.ndarray:
             frame = (h, w, comps, max_h, max_v, mcus_x, mcus_y)
             y_hs, y_vs = comps[0][1], comps[0][2]
             ycoef = np.zeros((mcus_y * y_vs, mcus_x * y_hs, 64), dtype=np.int64)
-        elif marker == 0xDD:  # DRI
-            if struct.unpack_from(">H", body, 0)[0] != 0:
-                raise NotImplementedError("JPEG restart markers")
+        elif marker == 0xDD:  # DRI — restart interval in MCUs
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS — one progressive scan
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
@@ -595,9 +605,17 @@ def _decode_jpeg_progressive(b: bytes) -> np.ndarray:
             ]
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 15
-            data, pos = scan_segment(pos + 2 + ln)
+            segs, pos = scan_segments(pos + 2 + ln)
             if y_cid not in [c[0] for c in scomps]:
                 continue  # chroma-only scan: self-contained, skip wholly
+            seg_idx = 0
+
+            def next_segment() -> "_BitReader":
+                nonlocal seg_idx
+                seg_idx += 1
+                if seg_idx >= len(segs):
+                    raise ValueError("JPEG missing restart segment")
+                return _BitReader(segs[seg_idx])
 
             def nblocks(cid: int) -> tuple[int, int]:
                 hs, vs, _tq = comp_info[cid]
@@ -605,38 +623,48 @@ def _decode_jpeg_progressive(b: bytes) -> np.ndarray:
                 ch = -(-h * vs // max_v)
                 return -(-ch // 8), -(-cw // 8)
 
-            reader = _BitReader(data)
+            reader = _BitReader(segs[0])
             if ss == 0:  # DC scan (interleaved when ns > 1)
                 pred = {cid: 0 for cid, _td, _ta in scomps}
+                # order grouped per MCU: the restart interval counts MCUs
                 if ns > 1:
-                    order = []
+                    mcu_order = []
                     for my in range(mcus_y):
                         for mx in range(mcus_x):
+                            units = []
                             for cid, td, _ta in scomps:
                                 hs, vs, _tq = comp_info[cid]
                                 for vy in range(vs):
                                     for vx in range(hs):
-                                        order.append(
+                                        units.append(
                                             (cid, td, my * vs + vy, mx * hs + vx)
                                         )
+                            mcu_order.append(units)
                 else:
                     cid, td, _ta = scomps[0]
                     nby, nbx = nblocks(cid)
-                    order = [
-                        (cid, td, r, c)
+                    mcu_order = [
+                        [(cid, td, r, c)]
                         for r in range(nby) for c in range(nbx)
                     ]
-                for cid, td, by, bx in order:
-                    if ah == 0:
-                        s = _huff_decode(reader, huff_dc[td])
-                        diff = _extend(reader.read(s), s) if s else 0
-                        pred[cid] += diff
-                        if cid == y_cid:
-                            ycoef[by, bx, 0] = pred[cid] << al
-                    else:
-                        bit = reader.read(1)
-                        if cid == y_cid and bit:
-                            ycoef[by, bx, 0] |= bit << al
+                for mcu_n, units in enumerate(mcu_order):
+                    if restart_interval and mcu_n and (
+                        mcu_n % restart_interval == 0
+                    ):
+                        # RSTn boundary: byte-aligned segment, preds reset
+                        reader = next_segment()
+                        pred = {cid: 0 for cid, _td, _ta in scomps}
+                    for cid, td, by, bx in units:
+                        if ah == 0:
+                            s = _huff_decode(reader, huff_dc[td])
+                            diff = _extend(reader.read(s), s) if s else 0
+                            pred[cid] += diff
+                            if cid == y_cid:
+                                ycoef[by, bx, 0] = pred[cid] << al
+                        else:
+                            bit = reader.read(1)
+                            if cid == y_cid and bit:
+                                ycoef[by, bx, 0] |= bit << al
             else:  # AC scan: non-interleaved single component by spec
                 if ns != 1:
                     raise ValueError("interleaved progressive AC scan")
@@ -644,8 +672,18 @@ def _decode_jpeg_progressive(b: bytes) -> np.ndarray:
                 nby, nbx = nblocks(cid)
                 table = huff_ac[ta]
                 eobrun = 0
+                blk_n = 0
                 for r0 in range(nby):
                     for c0 in range(nbx):
+                        # non-interleaved scan: one MCU = one block, so
+                        # the restart interval counts blocks here; EOB
+                        # runs never cross a restart boundary
+                        if restart_interval and blk_n and (
+                            blk_n % restart_interval == 0
+                        ):
+                            reader = next_segment()
+                            eobrun = 0
+                        blk_n += 1
                         blk = ycoef[r0, c0]
                         k = ss
                         if ah == 0:  # first scan for this band
@@ -1112,6 +1150,36 @@ def _parse_avi_header(b: bytes) -> tuple[int, int, int]:
     return found
 
 
+def _avi_first_frame(b: bytes) -> bytes | None:
+    """First video-frame payload from the movi LIST ('##dc'/'##db'
+    chunks, possibly nested in LIST('rec ') groups).  MJPEG frames are
+    plain baseline JPEGs the existing decoder handles — returns the raw
+    chunk body for the caller to dispatch; None when no frame chunk is
+    found (audio-only or truncated file)."""
+
+    def find_frame(pos: int, end: int):
+        while pos + 8 <= end:
+            cid = b[pos: pos + 4]
+            ln = struct.unpack_from("<I", b, pos + 4)[0]
+            body_start = pos + 8
+            if cid == b"LIST":
+                ltype = b[body_start: body_start + 4]
+                if ltype in (b"movi", b"rec "):
+                    found = find_frame(body_start + 4, body_start + ln)
+                    if found is not None:
+                        return found
+            elif (
+                cid[2:4] in (b"dc", b"db")
+                and cid[:2].isdigit()
+                and ln > 0
+            ):
+                return b[body_start: body_start + ln]
+            pos = body_start + ln + (ln & 1)
+        return None
+
+    return find_frame(12, len(b))
+
+
 def _decode_stub(payload: bytes) -> tuple[int, int, np.ndarray]:
     """STUB for formats whose codecs don't ship in this container
     (video/arithmetic-JPEG/corrupt payloads): a deterministic fake (width, height, 8-dim
@@ -1151,9 +1219,19 @@ def decode_media(payload: bytes) -> tuple[str, int, int, bool, np.ndarray]:
             s, rate, channels = _decode_flac(payload)
             return ("audio/flac", len(s), channels, True, _audio_feature(s))
         if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
-            # container metadata is REAL (true dimensions); frame decode
-            # stays the declared stub → decoded=False
+            # container metadata is REAL (true dimensions); MJPEG first
+            # frames are plain JPEGs → decode for real.  Other codecs
+            # (and arithmetic-coded frames) stay the declared stub with
+            # decoded=False — their codecs don't ship in this container.
             w, hh, _frames = _parse_avi_header(payload)
+            frame = _avi_first_frame(payload)
+            if frame is not None and frame[:2] == b"\xff\xd8":
+                try:
+                    gray = _decode_jpeg(frame)
+                    return ("video/avi", w, hh, True, _image_feature(gray))
+                except (ValueError, NotImplementedError, struct.error,
+                        IndexError, KeyError):
+                    pass  # corrupt/unsupported frame: metadata still real
             _sw, _sh, feat = _decode_stub(payload)
             return ("video/avi", w, hh, False, feat)
     except (ValueError, NotImplementedError, struct.error, zlib.error,

@@ -427,12 +427,17 @@ def test_jpeg_decoder_roundtrip():
     assert ok is False and mt == "application/octet-stream"
 
 
-def _make_progressive_jpeg(img, successive: bool, quant: int = 10) -> bytes:
+def _make_progressive_jpeg(img, successive: bool, quant: int = 10,
+                           restart_interval: int = 0) -> bytes:
     """Minimal PROGRESSIVE JPEG encoder (test-side only, grayscale,
     independently derived from Annex G): spectral-selection scan plan,
     and with successive=True a successive-approximation plan exercising
     DC refinement (bit/block), AC point transform (sign-magnitude shift)
-    and the AC-refinement correction-bit walk with EOB runs."""
+    and the AC-refinement correction-bit walk with EOB runs.  With
+    restart_interval=R, a DRI marker is emitted and EVERY scan's entropy
+    stream is split into byte-aligned segments joined by cycling RSTn
+    markers — DC predictors and EOB runs reset per segment (one MCU =
+    one block in these single-component scans)."""
     import numpy as np
 
     h, w = img.shape
@@ -466,10 +471,10 @@ def _make_progressive_jpeg(img, successive: bool, quant: int = 10) -> bytes:
             if s:
                 self.raw(v + (1 << s) - 1 if v < 0 else v, s)
 
-    def dc_scan(al):
+    def dc_scan(al, blks):
         out = _Bits()
         pred = 0
-        for blk in blocks:
+        for blk in blks:
             v = blk[0] >> al  # DC point transform is ARITHMETIC shift
             diff = v - pred
             pred = v
@@ -478,13 +483,13 @@ def _make_progressive_jpeg(img, successive: bool, quant: int = 10) -> bytes:
             out.mag(diff, s)
         return out
 
-    def dc_refine(al):
+    def dc_refine(al, blks):
         out = _Bits()
-        for blk in blocks:
+        for blk in blks:
             out.raw((blk[0] >> al) & 1, 1)
         return out
 
-    def ac_first(ss, se, al):
+    def ac_first(ss, se, al, blks):
         out = _Bits()
         eobrun = 0
 
@@ -496,7 +501,7 @@ def _make_progressive_jpeg(img, successive: bool, quant: int = 10) -> bytes:
                 out.raw(eobrun - (1 << r), r)
                 eobrun = 0
 
-        for blk in blocks:
+        for blk in blks:
             # AC point transform is SIGN-MAGNITUDE shift
             sv = [
                 (1 if v > 0 else -1) * (abs(v) >> al) if v else 0
@@ -528,7 +533,7 @@ def _make_progressive_jpeg(img, successive: bool, quant: int = 10) -> bytes:
         flush_eob()
         return out
 
-    def ac_refine(ss, se, al):
+    def ac_refine(ss, se, al, blks):
         """Precision al+1 → al.  Exact mirror of the decoder's walk: each
         emitted symbol is followed by precisely the correction bits the
         decoder consumes during that symbol's positional walk (history
@@ -553,7 +558,7 @@ def _make_progressive_jpeg(img, successive: bool, quant: int = 10) -> bytes:
         def hist_bit(blk, k):
             return (abs(blk[k]) >> al) & 1
 
-        for blk in blocks:
+        for blk in blks:
             absv = [abs(v) >> al for v in blk]
             is_hist = [(abs(v) >> (al + 1)) > 0 for v in blk]
             newly = [k for k in range(ss, se + 1)
@@ -601,18 +606,27 @@ def _make_progressive_jpeg(img, successive: bool, quant: int = 10) -> bytes:
         flush_eob()
         return out
 
+    def build(fn):
+        """One _Bits per restart segment (whole scan when R=0)."""
+        if restart_interval:
+            groups = [blocks[i:i + restart_interval]
+                      for i in range(0, len(blocks), restart_interval)]
+        else:
+            groups = [blocks]
+        return [fn(g) for g in groups]
+
     if successive:
         plan = [
-            (dc_scan(1), 0, 0, 0, 1, True),
-            (dc_refine(0), 0, 0, 1, 0, False),
-            (ac_first(1, 63, 1), 1, 63, 0, 1, False),
-            (ac_refine(1, 63, 0), 1, 63, 1, 0, False),
+            (build(lambda g: dc_scan(1, g)), 0, 0, 0, 1, True),
+            (build(lambda g: dc_refine(0, g)), 0, 0, 1, 0, False),
+            (build(lambda g: ac_first(1, 63, 1, g)), 1, 63, 0, 1, False),
+            (build(lambda g: ac_refine(1, 63, 0, g)), 1, 63, 1, 0, False),
         ]
     else:
         plan = [
-            (dc_scan(0), 0, 0, 0, 0, True),
-            (ac_first(1, 5, 0), 1, 5, 0, 0, False),
-            (ac_first(6, 63, 0), 6, 63, 0, 0, False),
+            (build(lambda g: dc_scan(0, g)), 0, 0, 0, 0, True),
+            (build(lambda g: ac_first(1, 5, 0, g)), 1, 5, 0, 0, False),
+            (build(lambda g: ac_first(6, 63, 0, g)), 6, 63, 0, 0, False),
         ]
 
     import struct as st
@@ -621,8 +635,10 @@ def _make_progressive_jpeg(img, successive: bool, quant: int = 10) -> bytes:
     out += b"\xff\xdb" + st.pack(">H", 2 + len(dqt)) + dqt
     sof = st.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
     out += b"\xff\xc2" + st.pack(">H", 2 + len(sof)) + sof
-    for scan, ss, se, ah, al, is_dc in plan:
-        syms = sorted(scan.syms)
+    if restart_interval:
+        out += b"\xff\xdd" + st.pack(">HH", 4, restart_interval)
+    for scan_segs, ss, se, ah, al, is_dc in plan:
+        syms = sorted(set().union(*(s.syms for s in scan_segs)))
         counts = [0] * 16
         counts[7] = len(syms)
         codes = {v: (8, i) for i, v in enumerate(syms)}
@@ -632,23 +648,26 @@ def _make_progressive_jpeg(img, successive: bool, quant: int = 10) -> bytes:
             out += b"\xff\xc4" + st.pack(">H", 2 + len(dht)) + dht
         sos = bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
         out += b"\xff\xda" + st.pack(">H", 2 + len(sos)) + sos
-        bits = []
-        for e in scan.entries:
-            if e[0] == "sym":
-                ln, code = codes[e[1]]
-                bits.extend((code >> (ln - 1 - i)) & 1 for i in range(ln))
-            else:
-                _tag, v, n = e
-                bits.extend((v >> (n - 1 - i)) & 1 for i in range(n))
-        while len(bits) % 8:
-            bits.append(1)
-        data = bytearray()
-        for i in range(0, len(bits), 8):
-            byte = int("".join(map(str, bits[i:i + 8])), 2)
-            data.append(byte)
-            if byte == 0xFF:
-                data.append(0x00)
-        out += bytes(data)
+        for si, scan in enumerate(scan_segs):
+            if si:
+                out += bytes([0xFF, 0xD0 + ((si - 1) % 8)])
+            bits = []
+            for e in scan.entries:
+                if e[0] == "sym":
+                    ln, code = codes[e[1]]
+                    bits.extend((code >> (ln - 1 - i)) & 1 for i in range(ln))
+                else:
+                    _tag, v, n = e
+                    bits.extend((v >> (n - 1 - i)) & 1 for i in range(n))
+            while len(bits) % 8:
+                bits.append(1)
+            data = bytearray()
+            for i in range(0, len(bits), 8):
+                byte = int("".join(map(str, bits[i:i + 8])), 2)
+                data.append(byte)
+                if byte == 0xFF:
+                    data.append(0x00)
+            out += bytes(data)
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -683,6 +702,15 @@ def test_progressive_jpeg_roundtrip():
         # baseline decode of the SAME quantized coefficients
         base = multimodal._decode_jpeg(_make_jpeg(img))
         assert np.abs(gray - base).max() < 1e-6
+
+        # DRI/RSTn: every scan split into byte-aligned restart segments
+        # (DC preds + EOB runs reset per segment) must decode bit-exact
+        # vs the no-restart progressive AND the baseline decode
+        for ri in (1, 2, 5):
+            payload_r = _make_progressive_jpeg(img, successive,
+                                               restart_interval=ri)
+            gray_r = multimodal._decode_jpeg(payload_r)
+            assert np.abs(gray_r - base).max() < 1e-6, (successive, ri)
 
 
 def _make_gif(img, interlace: bool = False) -> bytes:
@@ -1040,9 +1068,11 @@ def test_flac_decoder_roundtrip():
     assert ok is False
 
 
-def _make_avi(w, h, frames) -> bytes:
+def _make_avi(w, h, frames, frame_payloads=(), in_rec_list=False) -> bytes:
     """Minimal AVI container (test-side): RIFF/AVI  + LIST hdrl + avih
-    main header; no movi payload needed for the metadata parse."""
+    main header, plus optional '00dc' frame chunks in the movi LIST
+    (optionally nested in a LIST('rec ') group, as interleaved AVIs
+    write them)."""
     import struct as st
 
     avih = st.pack("<IIIIIIIIIIIIII",
@@ -1050,7 +1080,15 @@ def _make_avi(w, h, frames) -> bytes:
     avih_chunk = b"avih" + st.pack("<I", len(avih)) + avih
     hdrl = b"hdrl" + avih_chunk
     hdrl_list = b"LIST" + st.pack("<I", len(hdrl)) + hdrl
-    movi = b"movi"
+    chunks = b""
+    for fp in frame_payloads:
+        chunks += b"00dc" + st.pack("<I", len(fp)) + fp
+        if len(fp) & 1:
+            chunks += b"\x00"  # RIFF chunks are word-aligned
+    if in_rec_list and chunks:
+        rec = b"rec " + chunks
+        chunks = b"LIST" + st.pack("<I", len(rec)) + rec
+    movi = b"movi" + chunks
     movi_list = b"LIST" + st.pack("<I", len(movi)) + movi
     body = b"AVI " + hdrl_list + movi_list
     return b"RIFF" + st.pack("<I", len(body)) + body
@@ -1066,3 +1104,37 @@ def test_avi_container_metadata():
     # truncated container falls back to the stub entirely
     mt2, _, _, ok2, _ = multimodal.decode_media(payload[:16])
     assert ok2 is False
+
+
+def test_avi_mjpeg_first_frame_decodes_for_real():
+    """MJPEG-in-AVI frames are plain baseline JPEGs: the first '00dc'
+    frame decodes with the existing JPEG decoder — real pixels, real
+    feature, decoded=True — including when the frame chunks are nested
+    in a LIST('rec ') group.  Non-JPEG codec payloads keep the declared
+    stub (decoded=False) with the REAL container dimensions."""
+    import numpy as np
+
+    x = np.arange(24)[None, :] * 6.0
+    y = np.arange(16)[:, None] * 4.0
+    img = np.clip(x + y + 40.0 * np.sin(np.arange(24)[None, :] / 3.0), 0, 255)
+    jpeg = _make_jpeg(img)
+    want_gray = multimodal._decode_jpeg(jpeg)
+    want_feat = multimodal._image_feature(want_gray)
+
+    for nested in (False, True):
+        payload = _make_avi(24, 16, 2, frame_payloads=[jpeg, jpeg],
+                            in_rec_list=nested)
+        assert multimodal._avi_first_frame(payload) == jpeg, nested
+        mt, w, h, ok, feat = multimodal.decode_media(payload)
+        assert (mt, w, h, ok) == ("video/avi", 24, 16, True), nested
+        assert np.allclose(feat, want_feat), nested
+
+    # non-JPEG frame payload (e.g. a raw/h264 codec): metadata real,
+    # frame decode stays the declared stub
+    other = _make_avi(24, 16, 1, frame_payloads=[b"\x00\x01rawcodec"])
+    mt, w, h, ok, _ = multimodal.decode_media(other)
+    assert (mt, w, h, ok) == ("video/avi", 24, 16, False)
+    # corrupt JPEG frame: container metadata survives, decoded=False
+    broken = _make_avi(24, 16, 1, frame_payloads=[b"\xff\xd8truncated"])
+    mt, w, h, ok, _ = multimodal.decode_media(broken)
+    assert (mt, w, h, ok) == ("video/avi", 24, 16, False)
