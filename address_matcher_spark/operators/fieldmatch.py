@@ -224,20 +224,31 @@ def field_candidates(
     blocker: str,
     cfg,
     residue_rows: int | None = None,
+    ref_prepped: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate stage of the field pass: block → per-block grid salting →
     cogrouped Arrow field score (field_cross_score) → global per-record
-    max (ties kept).  Returns (record_id, ref_id, fuzzy_score)."""
+    max (ties kept).  Returns (record_id, ref_id, fuzzy_score).
+
+    residue_rows is accepted for interface parity with fuzzy_pass but
+    does not change the partition count — see the npart comment below
+    (flat dp measured faster than any residue-scaled dp..dp*8 value for
+    this rank-1-dominated scorer)."""
     key = "postcode_search" if blocker == "Postcode" else "street_key"
 
     s = predict_lpi_fields(search_std).filter(F.col(key) != "")
     s = s.withColumnRenamed(key, "__bk").drop(
         *({"postcode_search", "street_key"} - {key})
     )
-    r = ref_std.filter(F.col(key) != "").withColumnRenamed(key, "__bk").drop(
-        *({"postcode_search", "street_key"} - {key})
-    )
-    r = r.dropDuplicates(["__bk", "reference_mod_address"])
+    if ref_prepped is not None:
+        # the filtered/renamed/dedup'd variant, materialised once per
+        # (level, blocker) by run_waterfall — shared with the fuzzy pass
+        # on the same block key (pipeline.prep_ref_for_block)
+        r = ref_prepped
+    else:
+        r = ref_std.filter(F.col(key) != "").withColumnRenamed(key, "__bk")
+        r = r.drop(*({"postcode_search", "street_key"} - {key}))
+        r = r.dropDuplicates(["__bk", "reference_mod_address"])
     r = blocking.prefilter_ref(r, s, "__bk")
 
     used = [c for c in MATCHING_VARIABLES if WEIGHTS[c] != 0.0]
@@ -249,11 +260,15 @@ def field_candidates(
         "__bk", blocking.salt_target_pairs_for(s.sparkSession, cfg),
     )
     keys = ["__bk", *extra]
-    # residue-scaled like the fuzzy passes (scoring_npart): the late field
-    # passes attempt a small residue, and a flat dp partition count made
-    # them rescan-shaped — dp*8 over-decomposition on a full corpus,
-    # scaled down toward dp as the residue shrinks
-    npart = _util.scoring_npart(s.sparkSession, residue_rows)
+    # flat defaultParallelism, NOT the fuzzy passes' dp*8 over-
+    # decomposition: the field scorer's rank-1 accumulation makes
+    # per-pair work so light that per-partition scheduling overhead
+    # dominates — measured A/B at sf0.1 local[32]: dp 6.6s vs dp*8 8.8s
+    # for the full-corpus postcode field pass.  (The fuzzy kernel is the
+    # opposite: heavy per-pair work + skewed salt groups make the 8×
+    # decomposition win there — scoring_npart.)  Residue scaling can only
+    # raise the count above dp, so it does not apply here either.
+    npart = s.sparkSession.sparkContext.defaultParallelism
     s_salted = s_salted.repartition(npart, *[F.col(k) for k in keys])
     r_salted = r_salted.repartition(npart, *[F.col(k) for k in keys])
     cand = field_cross_score(s_salted, r_salted, keys)
@@ -268,6 +283,7 @@ def field_pass(
     pass_name: str,
     broadcast_ref: bool | None = None,
     residue_rows: int | None = None,
+    ref_prepped: DataFrame | None = None,
 ) -> DataFrame:
     """J4 block → J5 per-field compare → P6 weighted sum → A2 max → D8 →
     D4-D7 verify → W5 best-per-record.  Output schema matches fuzzy_pass
@@ -287,7 +303,8 @@ def field_pass(
         broadcast_ref = cfg.broadcast_ref
     if broadcast_ref is None:
         broadcast_ref = _util.should_broadcast(ref_std, cfg.broadcast_max_bytes)
-    shortlist = field_candidates(search_std, ref_std, blocker, cfg, residue_rows)
+    shortlist = field_candidates(search_std, ref_std, blocker, cfg,
+                                 residue_rows, ref_prepped)
     shortlist = shortlist.join(
         search_std.drop("street_key", "postcode_search"), "record_id"
     )

@@ -99,13 +99,25 @@ def count_candidate_pairs(sides) -> int:
     return int(row["pairs"] or 0)
 
 
+def _bc_ref(sides, cfg) -> bool:
+    """The byte-measured broadcast decision, taken OUTSIDE the timed
+    windows: the product path (run_waterfall) measures once per run and
+    threads the bool into every pass, so a per-pass benchmark must not
+    charge the one-time measurement to the pass."""
+    from address_matcher_spark.plans import pipeline as P
+
+    return P.should_broadcast(sides["rmin"], cfg.broadcast_max_bytes)
+
+
 def run_block_score(spark, sides, cfg) -> tuple[int, float]:
     """The BASELINE.md §C 'block join + score' stage: candidate generation
     + cross-scoring + per-record shortlist, materialised."""
     from address_matcher_spark.plans import pipeline as P
 
+    bc = _bc_ref(sides, cfg)
     t0 = time.perf_counter()
-    out = P.fuzzy_pass(sides["smin"], sides["rmin"], "Postcode", cfg, "bench")
+    out = P.fuzzy_pass(sides["smin"], sides["rmin"], "Postcode", cfg,
+                       "bench", broadcast_ref=bc)
     n = out.count()
     return n, time.perf_counter() - t0
 
@@ -115,8 +127,10 @@ def run_field_pass(spark, sides, cfg) -> tuple[int, float]:
     corpus — tracks the O(rows)-transfer claim from round 3."""
     from address_matcher_spark.operators.fieldmatch import field_pass
 
+    bc = _bc_ref(sides, cfg)
     t0 = time.perf_counter()
-    out = field_pass(sides["smin"], sides["rmin"], "Postcode", cfg, "bench")
+    out = field_pass(sides["smin"], sides["rmin"], "Postcode", cfg, "bench",
+                     broadcast_ref=bc)
     n = out.count()
     return n, time.perf_counter() - t0
 

@@ -1,6 +1,8 @@
 """Scaling-efficiency evidence (BASELINE.json north_rule, sandbox proxy):
-run bench.py on the SAME input at local[N] and local[4N], report
-candidate-pairs/sec at both and efficiency = (tp_hi/tp_lo)/4.
+run bench.py on the SAME input at local[N] and local[4N] in A/B/B/A
+interleaved order (drift-canceling: both sides share the same mean time
+position), report the geometric-mean candidate-pairs/sec of each side
+and efficiency = (tp_hi/tp_lo)/4.
 
 Core-pair choice: local[4] -> local[16] (override with SPARK_GRAFT_SCALE_LO/
 _HI).  The north rule's N -> 4N EXECUTORS scale memory bandwidth and CPU
@@ -72,39 +74,59 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_SKIP_FIELD", "1")
     lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "4"))
     hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", str(lo * 4)))
-    idx_lo = machine_index()
-    r_lo = run_bench(lo, sf_dir)
-    idx_hi = machine_index()
-    r_hi = run_bench(hi, sf_dir)
+    # A/B/B/A leg order: with a drift that is (to first order) linear in
+    # time on log-throughput, the mean time position of the A legs equals
+    # the B legs' (1+4)/2 == (2+3)/2, so the geometric-mean ratio cancels
+    # the drift STRUCTURALLY instead of relying on the index model (the
+    # r4 pair's legs ran under indices 20% apart and the normalized
+    # number carried that model risk — VERDICT r4 'Next round' #6).  The
+    # per-leg index is still recorded as a diagnostic.
+    import math
+
+    legs = []  # (cpus, result, index_before)
+    for cpus in (lo, hi, hi, lo):
+        idx = machine_index()
+        legs.append((cpus, run_bench(cpus, sf_dir), idx))
     idx_end = machine_index()
-    tp_lo = r_lo["value"]
-    tp_hi = r_hi["value"]
+    lo_runs = [r for c, r, _ in legs if c == lo]
+    hi_runs = [r for c, r, _ in legs if c == hi]
+    gm = lambda xs: math.exp(sum(math.log(x) for x in xs) / len(xs))
+    tp_lo = gm([r["value"] for r in lo_runs])
+    tp_hi = gm([r["value"] for r in hi_runs])
     eff = (tp_hi / tp_lo) / (hi / lo)
-    # machine-drift-normalized efficiency: divide each leg's throughput by
-    # the machine-speed index it ran under (the drift is multiplicative on
-    # per-core speed, so this cancels co-tenancy/thermal phases)
-    eff_norm = ((tp_hi / idx_hi) / (tp_lo / idx_lo)) / (hi / lo)
-    wf_eff = (
-        (r_lo["queries"]["er_waterfall"] / r_hi["queries"]["er_waterfall"])
-        / (hi / lo)
+    # index-normalized cross-check (secondary: divides each leg by the
+    # L1 probe index it ran under — a model, unlike the ABBA design)
+    tp_lo_n = gm([r["value"] / i for c, r, i in legs if c == lo])
+    tp_hi_n = gm([r["value"] / i for c, r, i in legs if c == hi])
+    eff_norm = (tp_hi_n / tp_lo_n) / (hi / lo)
+    wf_lo = gm([r["queries"]["er_waterfall"] for r in lo_runs])
+    wf_hi = gm([r["queries"]["er_waterfall"] for r in hi_runs])
+    wf_eff = (wf_lo / wf_hi) / (hi / lo)
+    indices = [i for _c, _r, i in legs] + [idx_end]
+    idx_spread = round(
+        100.0 * (max(indices) - min(indices)) / min(indices), 1
     )
+    r_lo, r_hi = lo_runs[0], hi_runs[0]
     result = {
         "sf_dir": sf_dir,
+        "design": "ABBA interleaved (geometric-mean legs, drift-canceling)",
         "pairs": r_lo["er_candidate_pairs"],
-        f"local[{lo}]": {"pairs_per_sec": tp_lo,
+        f"local[{lo}]": {"pairs_per_sec": round(tp_lo, 1),
+                         "per_leg": [r["value"] for r in lo_runs],
                          "block_score_sec": r_lo["queries"]["er_block_score"],
                          "waterfall_sec": r_lo["queries"]["er_waterfall"]},
-        f"local[{hi}]": {"pairs_per_sec": tp_hi,
+        f"local[{hi}]": {"pairs_per_sec": round(tp_hi, 1),
+                         "per_leg": [r["value"] for r in hi_runs],
                          "block_score_sec": r_hi["queries"]["er_block_score"],
                          "waterfall_sec": r_hi["queries"]["er_waterfall"]},
         "scaling_efficiency": round(eff, 3),
         "waterfall_efficiency": round(wf_eff, 3),
         "target": 0.8,
         # L1-resident machine-speed index (tasks/s at 8 procs) sampled
-        # before the lo leg, before the hi leg, and at the end — legs that
-        # ran under very different indices make the pair untrustworthy
-        "machine_index": {"before_lo": idx_lo, "before_hi": idx_hi,
-                          "after_hi": idx_end},
+        # before every leg and at the end — the ABBA design cancels drift
+        # structurally; the spread tells how much there was to cancel
+        "machine_index": {"per_leg": indices[:-1], "after": idx_end,
+                          "spread_pct": idx_spread},
         "scaling_efficiency_normalized": round(eff_norm, 3),
         "queries_lo": r_lo["queries"],
         "queries_hi": r_hi["queries"],
@@ -116,11 +138,16 @@ def main() -> None:
     with open(os.path.join(REPO, "BENCH", f"scaling{suffix}.json"), "w") as f:
         json.dump(result, f, indent=1)
 
+    lo_legs = ", ".join(f"{r['value']:,.0f}" for r in lo_runs)
+    hi_legs = ", ".join(f"{r['value']:,.0f}" for r in hi_runs)
     md = f"""# BENCH/BASELINE.md — measured numbers (rebuilt engine)
 
 Sandbox proxy for the N→4N-executor scaling rule (no real cluster):
 the same job on the same input at `local[{lo}]` vs `local[{hi}]`,
-fresh JVM per run. Input: deterministic synthetic corpus
+fresh JVM per run, **A/B/B/A interleaved legs** (lo, hi, hi, lo — the
+mean time position of both sides is equal, so a drift linear in time on
+log-throughput cancels in the geometric-mean ratio STRUCTURALLY, with
+no reliance on the index model).  Input: deterministic synthetic corpus
 ({r_lo['er_search_rows']} search x {r_lo['er_ref_rows']} reference rows,
 one block ~25% of rows + Zipf(1.2) tail), {r_lo['er_candidate_pairs']:,}
 candidate pairs.
@@ -132,18 +159,16 @@ scale it carries a fixed orchestration floor (job scheduling, plan
 compilation) that is identical at both core counts and amortises away on
 real cluster-sized stages.
 
-| metric | local[{lo}] | local[{hi}] | ratio | efficiency (target >=0.8) |
+| metric | local[{lo}] (gm of legs) | local[{hi}] (gm of legs) | ratio | efficiency (target >=0.8) |
 |---|---|---|---|---|
-| candidate-pairs/sec (block join + score) | {tp_lo:,.0f} | {tp_hi:,.0f} | {tp_hi / tp_lo:.2f}x | **{eff:.3f}** |
-| full waterfall wall-clock (s) | {r_lo['queries']['er_waterfall']} | {r_hi['queries']['er_waterfall']} | {r_lo['queries']['er_waterfall'] / r_hi['queries']['er_waterfall']:.2f}x | {wf_eff:.3f} |
+| candidate-pairs/sec (block join + score) | {tp_lo:,.0f} ({lo_legs}) | {tp_hi:,.0f} ({hi_legs}) | {tp_hi / tp_lo:.2f}x | **{eff:.3f}** |
+| full waterfall wall-clock (s) | {wf_lo:.2f} | {wf_hi:.2f} | {wf_lo / wf_hi:.2f}x | {wf_eff:.3f} |
 
-Machine-speed index (L1-resident probe, tasks/s at 8 procs — this
-sandbox's per-core speed drifts ±20-30% with co-tenancy): before
-local[{lo}] = {idx_lo}, before local[{hi}] = {idx_hi}, after = {idx_end}.
-Dividing each leg's throughput by the index it ran under cancels the
-drift (it is multiplicative on per-core speed):
-**drift-normalized efficiency = {eff_norm:.3f}**.  The raw number above
-is only as stable as the three index samples.
+Machine-speed index per leg (L1-resident probe, tasks/s at 8 procs —
+this sandbox's per-core speed drifts ±20-30% with co-tenancy):
+{indices[:-1]} then {idx_end} at the end — spread {idx_spread}%.
+Index-normalized cross-check (divides each leg by its index — a model,
+unlike the ABBA design): **{eff_norm:.3f}**.
 
 Core-pair rationale: the north rule scales EXECUTORS N→4N — on a real
 cluster 4N executors bring 4N memory controllers and per-chip turbo
