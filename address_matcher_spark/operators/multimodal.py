@@ -9,9 +9,16 @@ Decode support (zero external deps — stdlib struct/zlib + numpy only):
          refinement and EOB runs, luma plane), GIF (87a/89a LZW +
          palette, incl. interlace; first frame), WAV (PCM 8/16-bit),
          FLAC (frame parse, constant/verbatim/fixed/LPC subframes, rice
-         residuals, stereo decorrelation, CRC-8/16 verified)
-  stub   video (and JPEG arithmetic coding) — no codecs ship in this
-         container, so these fall back to
+         residuals, stereo decorrelation, CRC-8/16 verified),
+         AVI first frames when the stream is MJPEG (plain baseline
+         JPEGs) or uncompressed BI_RGB (raw DIB pixel arrays, 8/24/32bpp
+         via the strf BITMAPINFOHEADER); container metadata always real
+  stub   compressed video codecs (h264/cinepak/...) and JPEG arithmetic
+         coding — their codecs don't ship in this container, and the
+         T.81 QM-coder's normative 113-state Qe table cannot be
+         conformance-verified offline (a self-consistent reimplementation
+         would pass its own encoder/decoder tests even if wrong, which
+         is worse than a declared stub).  These fall back to
          ``_decode_stub`` (deterministic fake derived from the payload
          bytes, clearly marked) — the Spark-side plumbing (schema,
          mapInPandas batching, feature shapes) is identical either way;
@@ -1150,6 +1157,81 @@ def _parse_avi_header(b: bytes) -> tuple[int, int, int]:
     return found
 
 
+def _avi_video_strf(b: bytes) -> tuple[int, int, int, int, bytes] | None:
+    """Stream format of the first VIDEO stream: walk hdrl → each strl
+    LIST, match the strh whose fccType is 'vids', and parse that
+    stream's strf chunk as a BITMAPINFOHEADER (public layout: biSize,
+    biWidth, biHeight i32, biPlanes/biBitCount u16, biCompression u32,
+    ..., biClrUsed at +32; RGBQUAD palette follows the 40-byte header).
+    Returns (width, height, bit_count, compression, palette_bytes) or
+    None when no video stream format is present."""
+
+    def walk(pos: int, end: int, in_strl: bool):
+        is_video = not in_strl  # outside an strl, strf has no gate
+        while pos + 8 <= end:
+            cid = b[pos: pos + 4]
+            ln = struct.unpack_from("<I", b, pos + 4)[0]
+            body_start = pos + 8
+            if cid == b"LIST":
+                ltype = b[body_start: body_start + 4]
+                if ltype in (b"hdrl", b"strl"):
+                    found = walk(body_start + 4, body_start + ln,
+                                 ltype == b"strl")
+                    if found:
+                        return found
+            elif cid == b"strh" and in_strl:
+                is_video = b[body_start: body_start + 4] == b"vids"
+            elif cid == b"strf" and in_strl and is_video and ln >= 40:
+                w, h = struct.unpack_from("<ii", b, body_start + 4)
+                bpp = struct.unpack_from("<H", b, body_start + 14)[0]
+                comp = struct.unpack_from("<I", b, body_start + 16)[0]
+                n_clr = struct.unpack_from("<I", b, body_start + 32)[0]
+                hdr_sz = struct.unpack_from("<I", b, body_start)[0]
+                pal = b""
+                if bpp == 8:
+                    n = n_clr or 256
+                    pal = b[body_start + hdr_sz:
+                            body_start + hdr_sz + 4 * n]
+                return w, h, bpp, comp, pal
+            pos = body_start + ln + (ln & 1)
+        return None
+
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    return walk(12, len(b), False)
+
+
+def _decode_dib_frame(frame: bytes, w: int, h: int, bpp: int,
+                      palette: bytes) -> np.ndarray:
+    """Raw BI_RGB DIB pixel array (an AVI '##db'/'##dc' frame body for
+    an uncompressed video stream) → grayscale [h, w].  Same layout as a
+    BMP's pixel array minus the file header: rows 4-byte aligned,
+    bottom-up when the strf height is positive; 24bpp BGR, 32bpp BGRX,
+    or 8bpp through the strf's RGBQUAD palette."""
+    flip = h > 0
+    h = abs(h)
+    if bpp not in (8, 24, 32):
+        raise NotImplementedError(f"DIB bpp={bpp}")
+    stride = (w * bpp // 8 + 3) & ~3
+    if len(frame) < stride * h:
+        raise ValueError("DIB frame shorter than stride*height")
+    px = np.frombuffer(frame, dtype=np.uint8, count=stride * h)
+    px = px.reshape(h, stride)
+    if bpp == 8:
+        if len(palette) < 4 * 256:
+            palette = palette.ljust(4 * 256, b"\0")
+        pal = np.frombuffer(palette[: 4 * 256], dtype=np.uint8)
+        pal = pal.reshape(256, 4).astype(np.float64)  # B,G,R,reserved
+        idx = px[:, :w]
+        gray = (0.114 * pal[idx, 0] + 0.587 * pal[idx, 1]
+                + 0.299 * pal[idx, 2])
+    else:
+        nch = bpp // 8
+        rgb = px[:, : w * nch].reshape(h, w, nch).astype(np.float64)
+        gray = 0.114 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.299 * rgb[:, :, 2]
+    return gray[::-1] if flip else gray
+
+
 def _avi_first_frame(b: bytes) -> bytes | None:
     """First video-frame payload from the movi LIST ('##dc'/'##db'
     chunks, possibly nested in LIST('rec ') groups).  MJPEG frames are
@@ -1220,15 +1302,25 @@ def decode_media(payload: bytes) -> tuple[str, int, int, bool, np.ndarray]:
             return ("audio/flac", len(s), channels, True, _audio_feature(s))
         if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
             # container metadata is REAL (true dimensions); MJPEG first
-            # frames are plain JPEGs → decode for real.  Other codecs
-            # (and arithmetic-coded frames) stay the declared stub with
-            # decoded=False — their codecs don't ship in this container.
+            # frames are plain JPEGs and uncompressed streams are raw
+            # BI_RGB DIB pixel arrays → both decode for real.  Other
+            # codecs (and arithmetic-coded frames) stay the declared
+            # stub with decoded=False — their codecs don't ship in this
+            # container.
             w, hh, _frames = _parse_avi_header(payload)
             frame = _avi_first_frame(payload)
-            if frame is not None and frame[:2] == b"\xff\xd8":
+            if frame is not None:
                 try:
-                    gray = _decode_jpeg(frame)
-                    return ("video/avi", w, hh, True, _image_feature(gray))
+                    if frame[:2] == b"\xff\xd8":
+                        gray = _decode_jpeg(frame)
+                        return ("video/avi", w, hh, True,
+                                _image_feature(gray))
+                    strf = _avi_video_strf(payload)
+                    if strf is not None and strf[3] == 0:  # BI_RGB
+                        fw, fh, bpp, _comp, pal = strf
+                        gray = _decode_dib_frame(frame, fw, fh, bpp, pal)
+                        return ("video/avi", w, hh, True,
+                                _image_feature(gray))
                 except (ValueError, NotImplementedError, struct.error,
                         IndexError, KeyError):
                     pass  # corrupt/unsupported frame: metadata still real

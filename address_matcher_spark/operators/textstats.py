@@ -129,6 +129,114 @@ GOPHER_MIN_ALPHA_WORD_RATIO = 0.8
 GOPHER_MIN_STOPWORDS = 2
 
 
+def url_canonicalize(df: DataFrame, url_col: str = "url",
+                     id_col: str = "doc_id") -> DataFrame:
+    """URL canonicalization + keeper election — step 1 of any web-corpus
+    dedup (the input_hint table keys pages by url).  Lowercases scheme
+    and host, strips a leading 'www.', drops the fragment and all
+    utm_* tracking params, sorts the surviving query params, and
+    normalises an empty path to '/'.  Keeper = min id per canonical URL
+    (one window).  Ports/percent-encoding are left as-is (note in SURVEY).
+
+    100 TB shape: a codegen'd projection plus ONE hash-partitioned
+    window on canonical_url — the same shuffle a groupBy-dedup would
+    pay, but keeps every row (keeper flag instead of a lossy distinct)."""
+    from pyspark.sql import Window
+
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
+        r"^www\.", "")
+    path = F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    qs = F.regexp_extract(u, r"\?([^#]*)", 1)
+    keep = F.array_sort(F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != "") & ~p.startswith("utm_")))
+    canonical = F.concat(
+        scheme, F.lit("://"), host,
+        F.when(path == "", F.lit("/")).otherwise(path),
+        F.when(F.size(keep) > 0,
+               F.concat(F.lit("?"), F.concat_ws("&", keep))).otherwise(F.lit("")))
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        canonical.alias("canonical_url"),
+        host.alias("host"),
+    )
+    w = Window.partitionBy("canonical_url")
+    return out.withColumn(
+        "is_keeper", F.col("doc_id") == F.min("doc_id").over(w))
+
+
+# PII patterns — dialect-neutral (no backrefs/lookaround) so the Java
+# (Spark) and RE2 (DuckDB oracle) engines agree match-for-match; fixed
+# widths where greedy leftmost-first vs leftmost-longest could differ
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """PII redaction for web corpora: count + redact emails, IPv4
+    addresses, and phone-shaped numbers.  Counts are taken on the raw
+    text; redaction is sequential (email → ip → phone) so a pattern
+    never matches inside an earlier placeholder.  Native regexp
+    expressions only — at 100 TB this is one codegen'd projection over
+    the scan, no shuffle, no UDF."""
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+            PII_IPV4_RE, "<IP>"),
+        PII_PHONE_RE, "<PHONE>")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_IPV4_RE), 0)).alias("n_ipv4"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE_RE), 0)).alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_hash"),
+        F.length(scrubbed).alias("n_scrubbed_chars"),
+    )
+
+
+def line_boilerplate_stats(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", split_re: str = r"\n",
+                           min_docs: int = 2) -> DataFrame:
+    """Line-level boilerplate detection (the CCNet/RefinedWeb trick):
+    split each document into trimmed non-empty lines, count the DISTINCT
+    documents each line occurs in, and report per document how many of
+    its distinct lines are boilerplate (shared by >= min_docs docs).
+
+    100 TB shape: explode → distinct (line, doc) pairs → line-frequency
+    hash aggregation → equi-join back on the line — shuffle ∝ total
+    lines, never all-pairs.  On a real corpus join on xxhash64(line)
+    instead of the raw string to keep shuffle rows narrow."""
+    lines = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), split_re)).alias("line"),
+        )
+        .select("doc_id", F.trim(F.col("line")).alias("line"))
+        .filter(F.length("line") > 0)
+        .distinct()
+    )
+    boiler = (
+        lines.groupBy("line").agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("line", F.lit(1).alias("is_boiler"))
+    )
+    return (
+        lines.join(boiler, "line", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.coalesce(F.col("is_boiler"), F.lit(0))).alias("n_boiler_lines"),
+        )
+    )
+
+
 def gopher_quality_filter(docs: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id") -> DataFrame:
     """Gopher-rule document filter: keep/drop + first failing rule.

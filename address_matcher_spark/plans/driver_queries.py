@@ -756,6 +756,148 @@ _register(
 )
 
 
+# PII scrub: the synthetic corpus carries no PII, so the query
+# deterministically augments each doc with synthetic email/IP/phone
+# strings (mirrored verbatim in the oracle) before scrubbing — the
+# operator is exercised on real matches, not vacuous zero counts.
+def _pii_aug_col():
+    return F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.org"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit(" from 10."),
+                        (F.col("doc_id") % 256).cast("string"),
+                        F.lit(".0.1"))).otherwise(F.lit("")),
+        F.lit(" tel 555-"),
+        (F.col("doc_id") % 9000 + 1000).cast("string"),
+    )
+
+
+_PII_AUG_SQL = (
+    "SELECT doc_id, text"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' contact user'"
+    " || cast(doc_id AS varchar) || '@example.org' ELSE '' END"
+    " || CASE WHEN doc_id % 2 = 0 THEN ' from 10.'"
+    " || cast(doc_id % 256 AS varchar) || '.0.1' ELSE '' END"
+    " || ' tel 555-' || cast(doc_id % 9000 + 1000 AS varchar) AS text"
+    " FROM documents"
+)
+
+_PII_SCRUB_SQL = (
+    f"regexp_replace(regexp_replace(regexp_replace(text, "
+    f"'{textstats.PII_EMAIL_RE}', '<EMAIL>', 'g'), "
+    f"'{textstats.PII_IPV4_RE}', '<IP>', 'g'), "
+    f"'{textstats.PII_PHONE_RE}', '<PHONE>', 'g')"
+)
+
+_register(
+    "pii_scrub",
+    lambda spark, sf: _q(spark, sf, lambda s: (
+        textstats.pii_scrub(
+            s.table("documents").select("doc_id", _pii_aug_col().alias("text"))
+        )
+    )),
+    f"""
+    WITH aug AS ({_PII_AUG_SQL})
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{textstats.PII_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{textstats.PII_IPV4_RE}')) AS n_ipv4,
+           len(regexp_extract_all(text, '{textstats.PII_PHONE_RE}')) AS n_phones,
+           md5({_PII_SCRUB_SQL}) AS scrubbed_hash,
+           length({_PII_SCRUB_SQL}) AS n_scrubbed_chars
+    FROM aug
+    """,
+)
+
+# Line-level boilerplate (CCNet/RefinedWeb): the synthetic corpus has no
+# newlines, so the query derives "lines" by splitting on a frequent
+# token — the operator itself defaults to '\n'.
+_register(
+    "line_boilerplate_stats",
+    lambda spark, sf: _q(spark, sf, lambda s: (
+        textstats.line_boilerplate_stats(
+            s.table("documents"), split_re=" the ", min_docs=2
+        )
+    )),
+    """
+    WITH dl AS (
+      SELECT DISTINCT doc_id, trim(line) AS line
+      FROM (SELECT doc_id, unnest(string_split(text, ' the ')) AS line
+            FROM documents)
+      WHERE length(trim(line)) > 0),
+    freq AS (SELECT line FROM dl GROUP BY line HAVING count(*) >= 2)
+    SELECT dl.doc_id, count(*) AS n_lines,
+           count(freq.line) AS n_boiler_lines
+    FROM dl LEFT JOIN freq ON dl.line = freq.line
+    GROUP BY dl.doc_id
+    """,
+)
+
+
+# URL canonicalization: the synthetic corpus has no url column, so the
+# query constructs one deterministically (mixed-case host, www. prefix,
+# utm_* params, fragment — every normalisation rule gets exercised),
+# mirrored verbatim in the oracle.
+def _url_aug_col():
+    return F.concat(
+        F.lit("https://WWW."), F.col("source"), F.lit(".Example.org/page/"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("?utm_source=u"), F.col("doc_id").cast("string"),
+        F.lit("&ref=r"), (F.col("doc_id") % 3).cast("string"),
+        F.lit("#s"), F.col("doc_id").cast("string"),
+    )
+
+
+_URL_AUG_SQL = (
+    "SELECT doc_id, 'https://WWW.' || source || '.Example.org/page/'"
+    " || cast(doc_id % 5 AS varchar) || '?utm_source=u'"
+    " || cast(doc_id AS varchar) || '&ref=r'"
+    " || cast(doc_id % 3 AS varchar) || '#s'"
+    " || cast(doc_id AS varchar) AS url FROM documents"
+)
+
+_URL_KEEP_SQL = (
+    "list_sort(list_filter(string_split("
+    "regexp_extract(url, '\\?([^#]*)', 1), '&'),"
+    " x -> x <> '' AND NOT starts_with(x, 'utm_')))"
+)
+
+_register(
+    "url_canonicalize",
+    lambda spark, sf: _q(spark, sf, lambda s: (
+        textstats.url_canonicalize(
+            s.table("documents").select("doc_id", _url_aug_col().alias("url"))
+        )
+    )),
+    f"""
+    WITH u AS ({_URL_AUG_SQL}),
+    p AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)) AS scheme,
+             regexp_replace(lower(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\\.', '') AS host,
+             regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+             {_URL_KEEP_SQL} AS keep
+      FROM u),
+    c AS (
+      SELECT doc_id, host,
+             scheme || '://' || host
+             || (CASE WHEN path = '' THEN '/' ELSE path END)
+             || (CASE WHEN len(keep) > 0
+                      THEN '?' || array_to_string(keep, '&')
+                      ELSE '' END) AS canonical_url
+      FROM p)
+    SELECT doc_id, canonical_url, host,
+           doc_id = min(doc_id) OVER (PARTITION BY canonical_url) AS is_keeper
+    FROM c
+    """,
+)
+
+
 def _query_vec(dim: int = 64) -> list[float]:
     return [((d * 37 + 11) % 101 - 50) / 50.0 for d in range(dim)]
 

@@ -1068,21 +1068,36 @@ def test_flac_decoder_roundtrip():
     assert ok is False
 
 
-def _make_avi(w, h, frames, frame_payloads=(), in_rec_list=False) -> bytes:
+def _make_avi(w, h, frames, frame_payloads=(), in_rec_list=False,
+              strf=None, frame_id=b"00dc") -> bytes:
     """Minimal AVI container (test-side): RIFF/AVI  + LIST hdrl + avih
     main header, plus optional '00dc' frame chunks in the movi LIST
     (optionally nested in a LIST('rec ') group, as interleaved AVIs
-    write them)."""
+    write them).  With strf=(bpp, compression, palette_bytes) a
+    LIST('strl') with a 'vids' strh and a BITMAPINFOHEADER strf is
+    appended to hdrl, as writers of uncompressed streams emit."""
     import struct as st
 
     avih = st.pack("<IIIIIIIIIIIIII",
                    33367, 0, 0, 0x10, frames, 0, 1, 0, w, h, 0, 0, 0, 0)
     avih_chunk = b"avih" + st.pack("<I", len(avih)) + avih
     hdrl = b"hdrl" + avih_chunk
+    if strf is not None:
+        bpp, comp, pal = strf
+        strh = b"vids" + b"DIB " + b"\x00" * 48  # fccType, fccHandler, rest
+        strh_chunk = b"strh" + st.pack("<I", len(strh)) + strh
+        bih = st.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, comp,
+                      0, 0, 0, len(pal) // 4, 0)
+        strf_body = bih + pal
+        strf_chunk = b"strf" + st.pack("<I", len(strf_body)) + strf_body
+        if len(strf_body) & 1:
+            strf_chunk += b"\x00"
+        strl = b"strl" + strh_chunk + strf_chunk
+        hdrl += b"LIST" + st.pack("<I", len(strl)) + strl
     hdrl_list = b"LIST" + st.pack("<I", len(hdrl)) + hdrl
     chunks = b""
     for fp in frame_payloads:
-        chunks += b"00dc" + st.pack("<I", len(fp)) + fp
+        chunks += frame_id + st.pack("<I", len(fp)) + fp
         if len(fp) & 1:
             chunks += b"\x00"  # RIFF chunks are word-aligned
     if in_rec_list and chunks:
@@ -1138,3 +1153,93 @@ def test_avi_mjpeg_first_frame_decodes_for_real():
     broken = _make_avi(24, 16, 1, frame_payloads=[b"\xff\xd8truncated"])
     mt, w, h, ok, _ = multimodal.decode_media(broken)
     assert (mt, w, h, ok) == ("video/avi", 24, 16, False)
+
+
+def test_avi_raw_dib_first_frame_decodes_for_real():
+    """Uncompressed (BI_RGB) AVI streams store each frame as a raw DIB
+    pixel array — the strf BITMAPINFOHEADER supplies bpp/compression/
+    palette and the '00db' body is rows only (4-byte aligned,
+    bottom-up).  Expected grayscale is computed independently from the
+    source array, not via the decoder under test."""
+    import struct as st
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    w, h = 21, 10  # odd width → a real stride pad (21*3=63 → 64)
+    rgb = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)  # R,G,B
+    want = (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]
+            + 0.114 * rgb[:, :, 2])
+
+    def rows_to_dib(px_rows):  # rows of BGR(X)/index bytes, pad to stride
+        stride = (px_rows.shape[1] + 3) & ~3
+        out = np.zeros((px_rows.shape[0], stride), dtype=np.uint8)
+        out[:, : px_rows.shape[1]] = px_rows
+        return out.tobytes()
+
+    # 24bpp bottom-up (positive strf height): file rows are reversed
+    bgr = rgb[:, :, ::-1].reshape(h, w * 3)
+    frame24 = rows_to_dib(bgr[::-1])
+    payload = _make_avi(w, h, 1, frame_payloads=[frame24],
+                        strf=(24, 0, b""), frame_id=b"00db")
+    mt, ww, hh, ok, feat = multimodal.decode_media(payload)
+    assert (mt, ww, hh, ok) == ("video/avi", w, h, True)
+    assert np.allclose(feat, multimodal._image_feature(want))
+
+    # 32bpp BGRX top-down (negative strf height): rows in file order
+    bgrx = np.concatenate([rgb[:, :, ::-1],
+                           np.zeros((h, w, 1), np.uint8)], axis=2)
+    frame32 = rows_to_dib(bgrx.reshape(h, w * 4))
+    gray = multimodal._decode_dib_frame(frame32, w, -h, 32, b"")
+    assert np.allclose(gray, want)
+
+    # 8bpp palette: indices look up RGBQUAD (B,G,R,reserved) entries
+    idx = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+    pal = rng.randint(0, 256, size=(256, 4)).astype(np.uint8)
+    pal[:, 3] = 0
+    want8 = (0.114 * pal[idx, 0] + 0.587 * pal[idx, 1]
+             + 0.299 * pal[idx, 2]).astype(np.float64)
+    frame8 = rows_to_dib(idx[::-1])
+    payload = _make_avi(w, h, 1, frame_payloads=[frame8],
+                        strf=(8, 0, pal.tobytes()), frame_id=b"00db")
+    mt, ww, hh, ok, feat = multimodal.decode_media(payload)
+    assert (mt, ww, hh, ok) == ("video/avi", w, h, True)
+    assert np.allclose(feat, multimodal._image_feature(want8))
+
+    # short frame body → corrupt-payload fallback, metadata still real
+    payload = _make_avi(w, h, 1, frame_payloads=[frame24[:10]],
+                        strf=(24, 0, b""), frame_id=b"00db")
+    mt, ww, hh, ok, _ = multimodal.decode_media(payload)
+    assert (mt, ww, hh, ok) == ("video/avi", w, h, False)
+
+    # non-BI_RGB compression (e.g. 'cvid' fourcc) keeps the stub
+    payload = _make_avi(w, h, 1, frame_payloads=[frame24],
+                        strf=(24, st.unpack("<I", b"cvid")[0], b""))
+    mt, ww, hh, ok, _ = multimodal.decode_media(payload)
+    assert (mt, ww, hh, ok) == ("video/avi", w, h, False)
+
+
+def test_avi_strf_skips_audio_stream():
+    """Interleaved AVIs commonly list the audio strl first; the strf
+    walker must match the 'vids' stream's BITMAPINFOHEADER, not the
+    audio stream's WAVEFORMATEX."""
+    import struct as st
+
+    base = _make_avi(21, 10, 1, strf=(24, 0, b""))
+    # splice an 'auds' strl in front of the existing 'vids' strl
+    strh_a = b"strh" + st.pack("<I", 56) + b"auds" + b"\x00" * 52
+    wfx = st.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)  # WAVEFORMATEX
+    strf_a = b"strf" + st.pack("<I", len(wfx)) + wfx
+    strl_a = b"strl" + strh_a + strf_a
+    audio_list = b"LIST" + st.pack("<I", len(strl_a)) + strl_a
+    # hdrl LIST starts at offset 12; its avih child is 8+56 bytes in
+    hdrl_off = 12
+    hdrl_ln = st.unpack_from("<I", base, hdrl_off + 4)[0]
+    insert_at = hdrl_off + 8 + 4 + 8 + 56  # after 'hdrl'+avih chunk
+    spliced = bytearray(base)
+    spliced[insert_at:insert_at] = audio_list
+    st.pack_into("<I", spliced, hdrl_off + 4, hdrl_ln + len(audio_list))
+    st.pack_into("<I", spliced, 4,
+                 st.unpack_from("<I", spliced, 4)[0] + len(audio_list))
+    got = multimodal._avi_video_strf(bytes(spliced))
+    assert got == (21, 10, 24, 0, b"")
