@@ -56,14 +56,26 @@ def should_broadcast(df: DataFrame, max_bytes: int, n_rows: int | None = None) -
 
 
 def scoring_npart(spark, residue_rows: int | None = None) -> int:
-    """Partition count for the cogrouped scoring stages (fuzzy AND field
-    passes).  8× over-decomposition evens salt-group imbalance on a full
-    corpus, but a flat dp*8 is pure scheduling overhead for the small
+    """Partition count for the cogrouped fuzzy scoring stage.  32×
+    over-decomposition evens salt-group imbalance on a full corpus: the
+    stage runs npart/dp waves of tasks, and the straggler tail of the
+    LAST wave is ∝ 1/waves.  Profiled at mult 8 on the 1.2G-pair corpus
+    (scripts/profile_block_score.py) the tail was 13.8s of a 136.5s
+    local[16] wall (10%, busy_frac 0.864); mirrored-order A/B of the
+    multiplier (geometric-mean legs, fresh JVM per leg) measured:
+    local[8] 178.2s (8×) vs 179.0s (32×) — neutral; local[16] 111.6 vs
+    103.9 — 32× wins 6.8%; local[32] 77.5 vs 74.9 — 32× wins 3.4%.  The
+    tail binds where concurrent workers are many, so the finer
+    decomposition helps exactly where scaling needs it; per-task
+    overhead (~1s total at 1024 partitions / 32 cores) stays ≪ the tail
+    it removes.  A flat dp*32 is pure scheduling overhead for the small
     residues of later waterfall passes — so when the caller knows the
     residue size, scale down: ~1 salt group per 64 search rows (bench
     corpus measures ~2.9k candidate pairs per search row at 250k target
-    pairs/group), clamped to [dp, dp*8]."""
+    pairs/group), clamped to [dp, dp*32].  (The FIELD pass does not use
+    this: its rank-1 accumulation is too light per pair — flat dp
+    measured best there, operators/fieldmatch.py.)"""
     dp = spark.sparkContext.defaultParallelism
     if residue_rows is None:
-        return dp * 8
-    return max(dp, min(dp * 8, residue_rows // 64))
+        return dp * 32
+    return max(dp, min(dp * 32, residue_rows // 64))

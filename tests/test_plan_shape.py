@@ -62,12 +62,14 @@ def test_fuzzy_pass_no_cartesian_product(tiny_sides):
 
 
 def test_scoring_stage_parallelism_pinned(tiny_sides):
-    """The cogroup cross-score runs on defaultParallelism*8 partitions —
+    """The cogroup cross-score runs on scoring_npart(spark) partitions —
     the explicit numbered repartition that AQE coalescing must not undo."""
+    from address_matcher_spark.operators import _util
+
     smin, rmin, cfg = tiny_sides
     out = P.fuzzy_pass(smin.localCheckpoint(), rmin.localCheckpoint(),
                        "Postcode", cfg, "plan_test")
-    want = smin.sparkSession.sparkContext.defaultParallelism * 8
+    want = _util.scoring_npart(smin.sparkSession)
     assert f", {want}), REPARTITION_BY_NUM" in _plan(out)
 
 
