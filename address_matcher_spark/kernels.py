@@ -337,18 +337,33 @@ def _scratch(slot: str, n: int, dtype) -> np.ndarray:
 
 def _char_count_rows(strs: list[str]) -> tuple[np.ndarray, np.ndarray]:
     """Per-row ascii char histograms [n, 128] + validity mask (non-ascii
-    rows are marked invalid so callers skip bound-based pruning on them)."""
-    out = np.zeros((len(strs), 128), dtype=np.int32)
-    valid = np.ones(len(strs), dtype=bool)
+    rows are marked invalid so callers skip bound-based pruning on them).
+    One flat bincount over the concatenated bytes instead of a per-string
+    numpy round-trip — the per-call fixed cost made the histogram as
+    expensive as the LCS it was meant to prune."""
+    n = len(strs)
+    valid = np.ones(n, dtype=bool)
+    bufs: list[bytes] = []
+    rows: list[int] = []
+    lens: list[int] = []
     for i, s in enumerate(strs):
         if not s:
             continue
         if not s.isascii():
             valid[i] = False
             continue
-        arr = np.frombuffer(s.encode(), dtype=np.uint8)
-        out[i, : arr.max() + 1] = np.bincount(arr)
-    return out, valid
+        b = s.encode()
+        bufs.append(b)
+        rows.append(i)
+        lens.append(len(b))
+    if not bufs:
+        return np.zeros((n, 128), dtype=np.int32), valid
+    arr = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    row_ids = np.repeat(np.array(rows, dtype=np.int64),
+                        np.array(lens, dtype=np.int64))
+    flat = row_ids * 128 + arr
+    out = np.bincount(flat, minlength=n * 128).astype(np.int32)
+    return out.reshape(n, 128), valid
 
 
 def _lcs_lane(
@@ -475,7 +490,7 @@ def cross_token_set_scores(
       * only the rare pairs whose bound straddles the cutoff fall back to
         the per-pair LCS (ratio of sorted diff strings)
     Exactly matches tsr_presplit / rapidfuzz token_set_ratio semantics
-    (tests/test_kernels.py::test_cross_scores_match_scalar).
+    (tests/test_kernels.py::test_cross_scores_match_scalar_adversarial).
     """
     nl = len(left_tokens)
     nr = len(right_tokens)
@@ -484,10 +499,10 @@ def cross_token_set_scores(
                 np.empty(0, np.float64))
     lsets = [frozenset(t) for t in left_tokens]
     rsets = [frozenset(t) for t in right_tokens]
-    na = np.array([len(t) for t in lsets], dtype=np.float64)
-    nb = np.array([len(t) for t in rsets], dtype=np.float64)
-    chars_a = np.array([sum(map(len, t)) for t in lsets], dtype=np.float64)
-    chars_b = np.array([sum(map(len, t)) for t in rsets], dtype=np.float64)
+    na = np.array([len(t) for t in lsets], dtype=np.int32)
+    nb = np.array([len(t) for t in rsets], dtype=np.int32)
+    chars_a = np.array([sum(map(len, t)) for t in lsets], dtype=np.int32)
+    chars_b = np.array([sum(map(len, t)) for t in rsets], dtype=np.int32)
 
     # inverted index over the union vocabulary
     lrows: dict[str, list[int]] = {}
@@ -499,16 +514,25 @@ def cross_token_set_scores(
         for t in toks:
             rrows.setdefault(t, []).append(j)
 
-    # All (nl, nr) float64 work matrices live in the per-process scratch
-    # arena (named slots) and every elementwise step writes in place —
-    # the expression form allocated ~15 multi-MB temporaries per call,
-    # which at 32 concurrent workers turned into allocator/page-fault
-    # contention.  Operation ORDER matches the original expressions so
-    # results stay bit-identical (parity tests pin this).
+    # All (nl, nr) work matrices live in the per-process scratch arena
+    # (named slots) and every elementwise step writes in place — the
+    # expression form allocated ~15 multi-MB temporaries per call, which
+    # at 32 concurrent workers turned into allocator/page-fault
+    # contention.  Integer-VALUED matrices (counts, char sums, join
+    # lengths) are int32: the stage is DRAM-bandwidth-bound at high
+    # concurrency (BENCH/SCALING_RESIDUE.md), so halving their bytes is
+    # throughput; exactness is unaffected because every int here is
+    # exactly representable in float64 and numpy's true_divide promotes
+    # int32 operands to float64 BEFORE dividing — the quotient rounds
+    # identically to the old float64-held-integer form.  (Bound: char
+    # sums stay < 2^31/200 ≈ 10.7M chars per joined string — orders of
+    # magnitude above any address row; longer inputs belong to the
+    # scalar path anyway.)  Operation ORDER matches the original
+    # expressions so results stay bit-identical (parity tests pin this).
     size = nl * nr
 
-    def mat(slot: str) -> np.ndarray:
-        return _scratch(f"cts_{slot}", size, np.float64).reshape(nl, nr)
+    def mat(slot: str, dtype=np.float64) -> np.ndarray:
+        return _scratch(f"cts_{slot}", size, dtype).reshape(nl, nr)
 
     # C/CH (and score below) are SPARSE-write dense-read: only cells with
     # a token intersection are touched, then the whole matrix is read.
@@ -517,43 +541,43 @@ def cross_token_set_scores(
     # cannot provide (fill(0.0) dirties every page).  Measured: the
     # scratch version cost ~15-20%% at 8/16 threads; the dense
     # intermediates below stay in the arena where reuse only helps.
-    C = np.zeros((nl, nr), dtype=np.float64)   # |A ∩ B|
-    CH = np.zeros((nl, nr), dtype=np.float64)  # Σ|t| over A ∩ B
+    C = np.zeros((nl, nr), dtype=np.int32)   # |A ∩ B|
+    CH = np.zeros((nl, nr), dtype=np.int32)  # Σ|t| over A ∩ B
     for t, li in lrows.items():
         rj = rrows.get(t)
         if rj is None:
             continue
         ix = np.ix_(li, rj)
-        C[ix] += 1.0
-        CH[ix] += float(len(t))
+        C[ix] += 1
+        CH[ix] += len(t)
 
     nb_mask = _scratch("cts_mask", size, np.bool_).reshape(nl, nr)
-    n_ab = mat("nab")
+    n_ab = mat("nab", np.int32)
     np.subtract(na[:, None], C, out=n_ab)
-    n_ba = mat("nba")
+    n_ba = mat("nba", np.int32)
     np.subtract(nb[None, :], C, out=n_ba)
     has_sect = C > 0
-    sect_len = mat("sect")          # where(has_sect, (CH + C) - 1.0, 0.0)
+    sect_len = mat("sect", np.int32)  # where(has_sect, (CH + C) - 1, 0)
     np.add(CH, C, out=sect_len)
-    sect_len -= 1.0
-    np.copyto(sect_len, 0.0, where=np.logical_not(has_sect, out=nb_mask))
-    ab_len = mat("ab")              # where(n_ab>0, ((chars_a-CH)+n_ab)-1, 0)
+    sect_len -= 1
+    np.copyto(sect_len, 0, where=np.logical_not(has_sect, out=nb_mask))
+    ab_len = mat("ab", np.int32)    # where(n_ab>0, ((chars_a-CH)+n_ab)-1, 0)
     np.subtract(chars_a[:, None], CH, out=ab_len)
     ab_len += n_ab
-    ab_len -= 1.0
-    np.copyto(ab_len, 0.0, where=np.less_equal(n_ab, 0.0, out=nb_mask))
-    ba_len = mat("ba")
+    ab_len -= 1
+    np.copyto(ab_len, 0, where=np.less_equal(n_ab, 0, out=nb_mask))
+    ba_len = mat("ba", np.int32)
     np.subtract(chars_b[None, :], CH, out=ba_len)
     ba_len += n_ba
-    ba_len -= 1.0
-    np.copyto(ba_len, 0.0, where=np.less_equal(n_ba, 0.0, out=nb_mask))
-    one = mat("one")                # (sect_len > 0) as float
-    np.copyto(one, np.greater(sect_len, 0.0, out=nb_mask), casting="unsafe")
+    ba_len -= 1
+    np.copyto(ba_len, 0, where=np.less_equal(n_ba, 0, out=nb_mask))
+    one = mat("one", np.int32)      # (sect_len > 0) as int
+    np.copyto(one, np.greater(sect_len, 0, out=nb_mask), casting="unsafe")
     with np.errstate(divide="ignore", invalid="ignore"):
         # (1 - (one + x_len) / ((2*sect_len + one) + x_len)) * 100
-        num = mat("num")
-        den = mat("den")
-        np.multiply(sect_len, 2.0, out=den)
+        num = mat("num", np.int32)
+        den = mat("den", np.int32)
+        np.multiply(sect_len, 2, out=den)
         den += one
         den += ab_len
         np.add(one, ab_len, out=num)
@@ -561,7 +585,7 @@ def cross_token_set_scores(
         np.divide(num, den, out=sect_ab_ratio)
         np.subtract(1.0, sect_ab_ratio, out=sect_ab_ratio)
         sect_ab_ratio *= 100.0
-        np.multiply(sect_len, 2.0, out=den)
+        np.multiply(sect_len, 2, out=den)
         den += one
         den += ba_len
         np.add(one, ba_len, out=num)
@@ -571,14 +595,15 @@ def cross_token_set_scores(
         sect_ba_ratio *= 100.0
     best_sect = mat("best")
     np.maximum(sect_ab_ratio, sect_ba_ratio, out=best_sect)
-    lensum = mat("lensum")
+    lensum = mat("lensum", np.int32)
     np.add(ab_len, ba_len, out=lensum)
     with np.errstate(divide="ignore", invalid="ignore"):
         bound = mat("bound")        # where(lensum>0, 200*min(ab,ba)/lensum, 100)
-        np.minimum(ab_len, ba_len, out=bound)
-        bound *= 200.0
-        np.divide(bound, lensum, out=bound)
-        np.copyto(bound, 100.0, where=np.less_equal(lensum, 0.0, out=nb_mask))
+        bmin = mat("bmin", np.int32)
+        np.minimum(ab_len, ba_len, out=bmin)
+        bmin *= 200
+        np.divide(bmin, lensum, out=bound)
+        np.copyto(bound, 100.0, where=np.less_equal(lensum, 0, out=nb_mask))
 
     score = np.zeros((nl, nr), dtype=np.float64)  # sparse-write (see C/CH)
     subset = has_sect & ((n_ab == 0) | (n_ba == 0))
@@ -602,22 +627,22 @@ def cross_token_set_scores(
         cnt_a, valid_a = _char_count_rows(ljoin)
         cnt_b, valid_b = _char_count_rows(rjoin)
         both = (cnt_a.sum(axis=0) > 0) & (cnt_b.sum(axis=0) > 0)
-        common = mat("common")
-        common.fill(0.0)
-        cm_tmp = mat("cmtmp")
+        common = mat("common", np.int32)
+        common.fill(0)
+        cm_tmp = mat("cmtmp", np.int32)
         for c in np.nonzero(both)[0]:
             np.minimum(cnt_a[:, c][:, None], cnt_b[:, c][None, :], out=cm_tmp)
             common += cm_tmp
-        lj_len = np.array([len(s) for s in ljoin], dtype=np.float64)
-        rj_len = np.array([len(s) for s in rjoin], dtype=np.float64)
+        lj_len = np.array([len(s) for s in ljoin], dtype=np.int32)
+        rj_len = np.array([len(s) for s in rjoin], dtype=np.int32)
         with np.errstate(divide="ignore", invalid="ignore"):
             char_ub = mat("charub")  # where(lensum>0, 200*common/lensum, 100)
             full_lensum = cm_tmp     # reuse the slot; cm_tmp is dead here
             np.add(lj_len[:, None], rj_len[None, :], out=full_lensum)
-            np.multiply(common, 200.0, out=char_ub)
-            np.divide(char_ub, full_lensum, out=char_ub)
+            common *= 200
+            np.divide(common, full_lensum, out=char_ub)
             np.copyto(char_ub, 100.0,
-                      where=np.less_equal(full_lensum, 0.0, out=nb_mask))
+                      where=np.less_equal(full_lensum, 0, out=nb_mask))
         retire = (
             undecided & (C == 0) & (char_ub < cutoff)
             & valid_a[:, None] & valid_b[None, :]
@@ -626,7 +651,11 @@ def cross_token_set_scores(
     if undecided.any():
         # materialise the per-pair diff strings (Python set ops only where
         # the intersection is non-empty; disjoint pairs reuse the joins),
-        # then run ALL the LCS fallbacks in one vectorized batch.
+        # dedup identical string pairs, retire/settle what an ALIGNED
+        # per-pair char-histogram bound decides, and run the LCS only on
+        # the remainder — on the bench corpus shape ~23%% of all pairs
+        # reached this branch and the LCS was ~30%% of kernel wall; the
+        # histogram bound decides most of them at O(pairs·128/able chars).
         ui, uj = np.nonzero(undecided)
         c_vals = C[ui, uj]
         n_u = len(ui)
@@ -635,7 +664,7 @@ def cross_token_set_scores(
         for k in range(n_u):
             i = int(ui[k])
             j = int(uj[k])
-            if c_vals[k] == 0.0:
+            if c_vals[k] == 0:
                 a_strs.append(ljoin[i])
                 b_strs.append(rjoin[j])
             else:
@@ -643,13 +672,56 @@ def cross_token_set_scores(
                 tb = rsets[j]
                 a_strs.append(" ".join(sorted(ta - tb)))
                 b_strs.append(" ".join(sorted(tb - ta)))
-        lcs = _lcs_batch(a_strs, b_strs)
-        la_arr = np.array([len(a) for a in a_strs], dtype=np.float64)
-        lb_arr = np.array([len(b) for b in b_strs], dtype=np.float64)
-        pair_lensum = la_arr + lb_arr
+        import pandas as pd
+
+        acodes, auniq = pd.factorize(np.asarray(a_strs, dtype=object))
+        bcodes, buniq = pd.factorize(np.asarray(b_strs, dtype=object))
+        pkey = acodes.astype(np.int64) * len(buniq) + bcodes
+        pcodes, pkeys = pd.factorize(pkey)
+        up_a = (pkeys // len(buniq)).astype(np.int64)
+        up_b = (pkeys % len(buniq)).astype(np.int64)
+        n_up = len(pkeys)
+        ua_len = np.array([len(s) for s in auniq], dtype=np.int64)
+        ub_len = np.array([len(s) for s in buniq], dtype=np.int64)
+        # float64 lensum per unique pair — the exact value the original
+        # per-pair form used (small ints are exact in float64)
+        up_lensum = (ua_len[up_a] + ub_len[up_b]).astype(np.float64)
+        # aligned bound: lcs(a, b) ≤ Σ_c min(count_a(c), count_b(c)) and
+        # x ↦ 200·x/lensum is monotone in float64, so r ≤ r_ub exactly.
+        ha, va = _char_count_rows(list(auniq))
+        hb, vb = _char_count_rows(list(buniq))
+        common_up = np.empty(n_up, dtype=np.int64)
+        for lo in range(0, n_up, 65536):
+            sl = slice(lo, min(lo + 65536, n_up))
+            common_up[sl] = np.minimum(ha[up_a[sl]], hb[up_b[sl]]).sum(axis=1)
         with np.errstate(divide="ignore", invalid="ignore"):
-            r = np.where(pair_lensum > 0, 200.0 * lcs / pair_lensum, 100.0)
-        s_vals = np.maximum(r, best_sect[ui, uj])
+            r_ub_up = np.where(up_lensum > 0,
+                               200.0 * common_up / up_lensum, 100.0)
+        bs_u = best_sect[ui, uj]
+        r_ub = r_ub_up[pcodes]
+        valid_p = (va[up_a] & vb[up_b])[pcodes]
+        # r ≤ r_ub ≤ best_sect ⇒ max(r, best_sect) == best_sect: settled
+        # without the LCS; r ≤ r_ub < cutoff with best_sect < cutoff ⇒
+        # the pair cannot be kept: dead without the LCS.
+        settle = valid_p & (bs_u >= cutoff) & (r_ub <= bs_u)
+        score[ui[settle], uj[settle]] = bs_u[settle]
+        dead = valid_p & (bs_u < cutoff) & (r_ub < cutoff)
+        live = ~(settle | dead)
+        ui, uj, bs_u, pcodes = ui[live], uj[live], bs_u[live], pcodes[live]
+        lcs_up = np.zeros(n_up, dtype=np.float64)
+        need = np.zeros(n_up, dtype=bool)
+        need[pcodes] = True
+        nidx = np.nonzero(need)[0]
+        if len(nidx):
+            lcs_up[nidx] = _lcs_batch(
+                [auniq[k] for k in up_a[nidx]],
+                [buniq[k] for k in up_b[nidx]],
+            )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r_up = np.where(up_lensum > 0,
+                            200.0 * lcs_up / up_lensum, 100.0)
+        r = r_up[pcodes]
+        s_vals = np.maximum(r, bs_u)
         ok = s_vals >= cutoff
         score[ui[ok], uj[ok]] = s_vals[ok]
     score[empty_side] = 0.0

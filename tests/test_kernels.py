@@ -266,3 +266,44 @@ def test_jw_batch_and_batch_apply_handle_missing():
     assert got.tolist() == want
     got_r = K.ratio_batch(left, right)
     assert got_r.tolist() == [0.0, 0.0, 0.0, 100.0, 100.0]
+
+
+def test_cross_scores_match_scalar_adversarial():
+    """The matrix kernel (cross_token_set_scores) must be BIT-exact with
+    the scalar per-pair spec (tsr_presplit) over every (i, j) cell —
+    including cutoff-boundary pairs, subset pairs, disjoint-with-shared-
+    chars pairs (the char-histogram retire path), empty sides, and
+    non-ascii tokens (scalar LCS fallback inside _lcs_batch).  Also pins
+    the int32 decision-matrix narrowing: integer-valued counts held in
+    int32 divide to the same float64 quotients as the float64-held form."""
+    import random
+
+    rng = random.Random(20260817)
+    vocab = ["flat", "12", "high", "street", "maple", "road", "fÅ‚at",
+             "apartment", "b", "xy", "zq", "court", "house", "2a", "n0"]
+    rows_l: list[list[str]] = []
+    rows_r: list[list[str]] = []
+    # random rows
+    for _ in range(60):
+        rows_l.append(rng.sample(vocab, rng.randint(0, 6)))
+        rows_r.append(rng.sample(vocab, rng.randint(0, 6)))
+    # adversarial shapes
+    rows_l += [[], ["only"], ["a", "b", "c"], ["aaaa", "bbbb"],
+               ["zz" * 40], ["x" * 64, "q"]]
+    rows_r += [["only"], [], ["c", "b", "a"], ["aaab", "bbba"],
+               ["zz" * 40 + "y"], ["x" * 63, "q"]]
+    for cutoff in (0.0, 50.0, 85.0, 99.0):
+        il, jr, sc = K.cross_token_set_scores(rows_l, rows_r, cutoff)
+        got = {}
+        for i, j, s in zip(il.tolist(), jr.tolist(), sc.tolist()):
+            got[(i, j)] = s
+        for i, ta in enumerate(rows_l):
+            fa = frozenset(ta)
+            ca = sum(map(len, fa))
+            for j, tb in enumerate(rows_r):
+                fb = frozenset(tb)
+                want = K.tsr_presplit(fa, fb, ca, sum(map(len, fb)), cutoff)
+                if want >= cutoff:
+                    assert got.get((i, j)) == want, (i, j, ta, tb, cutoff)
+                else:
+                    assert (i, j) not in got, (i, j, ta, tb, cutoff)
