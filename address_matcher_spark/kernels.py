@@ -618,44 +618,57 @@ def cross_token_set_scores(
     if undecided.any():
         ljoin = [" ".join(sorted(t)) for t in lsets]
         rjoin = [" ".join(sorted(t)) for t in rsets]
-        # Tighter vectorized bound for DISJOINT pairs (the bulk of the
-        # undecided set): lcs(a, b) ≤ Σ_c min(count_a(c), count_b(c)), so
-        # r ≤ 200·common_chars/lensum.  For C==0 the diffs are the full
-        # joins, whose char histograms are per-ROW — one [nl,nr] min-sum
-        # per distinct character retires most pairs without any LCS.
-        # (For C==0, sect_len==0 → best_sect==0, so r<cutoff ⇒ score 0.)
+        # Vectorized char-histogram bound over the WHOLE undecided set,
+        # EXACTLY equal to the per-pair bound on the diff strings: tokens
+        # carry no spaces (they come from .split()), so for non-space c
+        # hist(diff_a)[c] = hist(full_a)[c] − hist(sect)[c], and
+        # subtracting the SAME sect histogram from both sides commutes
+        # with min — Σ_c≠sp min(hist_diff_a, hist_diff_b)
+        #   = Σ_c≠sp min(a_c, b_c) − sect_chars(=CH); separators add
+        # min(n_ab, n_ba) − 1.  With the per-pair diff lensum already in
+        # the `lensum` matrix, r ≤ 200·tight/lensum — one [nl,nr]
+        # min-sum per distinct character decides every ascii pair the
+        # LCS could only confirm, without materialising a single diff
+        # string.  (For C==0 this reduces to the old disjoint bound.)
         cnt_a, valid_a = _char_count_rows(ljoin)
         cnt_b, valid_b = _char_count_rows(rjoin)
         both = (cnt_a.sum(axis=0) > 0) & (cnt_b.sum(axis=0) > 0)
+        both[32] = False  # separators accounted via min(n_ab, n_ba) - 1
         common = mat("common", np.int32)
         common.fill(0)
         cm_tmp = mat("cmtmp", np.int32)
         for c in np.nonzero(both)[0]:
             np.minimum(cnt_a[:, c][:, None], cnt_b[:, c][None, :], out=cm_tmp)
             common += cm_tmp
-        lj_len = np.array([len(s) for s in ljoin], dtype=np.int32)
-        rj_len = np.array([len(s) for s in rjoin], dtype=np.int32)
+        common -= CH
+        np.minimum(n_ab, n_ba, out=cm_tmp)
+        cm_tmp -= 1
+        common += cm_tmp
         with np.errstate(divide="ignore", invalid="ignore"):
             char_ub = mat("charub")  # where(lensum>0, 200*common/lensum, 100)
-            full_lensum = cm_tmp     # reuse the slot; cm_tmp is dead here
-            np.add(lj_len[:, None], rj_len[None, :], out=full_lensum)
             common *= 200
-            np.divide(common, full_lensum, out=char_ub)
+            np.divide(common, lensum, out=char_ub)
             np.copyto(char_ub, 100.0,
-                      where=np.less_equal(full_lensum, 0, out=nb_mask))
+                      where=np.less_equal(lensum, 0, out=nb_mask))
+        bound_ok = valid_a[:, None] & valid_b[None, :]
+        # r ≤ char_ub < cutoff with best_sect < cutoff ⇒ never kept
         retire = (
-            undecided & (C == 0) & (char_ub < cutoff)
-            & valid_a[:, None] & valid_b[None, :]
+            undecided & bound_ok & (best_sect < cutoff) & (char_ub < cutoff)
         )
+        # r ≤ char_ub ≤ best_sect ⇒ max(r, best_sect) == best_sect
+        settle_m = (
+            undecided & bound_ok & (best_sect >= cutoff)
+            & (char_ub <= best_sect)
+        )
+        score[settle_m] = best_sect[settle_m]
         undecided &= ~retire
+        undecided &= ~settle_m
     if undecided.any():
         # materialise the per-pair diff strings (Python set ops only where
-        # the intersection is non-empty; disjoint pairs reuse the joins),
-        # dedup identical string pairs, retire/settle what an ALIGNED
-        # per-pair char-histogram bound decides, and run the LCS only on
-        # the remainder — on the bench corpus shape ~23%% of all pairs
-        # reached this branch and the LCS was ~30%% of kernel wall; the
-        # histogram bound decides most of them at O(pairs·128/able chars).
+        # the intersection is non-empty; disjoint pairs reuse the joins)
+        # for the few pairs the matrix bound could not decide — genuinely
+        # cutoff-straddling pairs plus non-ascii rows — dedup identical
+        # string pairs, and run the LCS once per distinct pair.
         ui, uj = np.nonzero(undecided)
         c_vals = C[ui, uj]
         n_u = len(ui)
@@ -680,48 +693,18 @@ def cross_token_set_scores(
         pcodes, pkeys = pd.factorize(pkey)
         up_a = (pkeys // len(buniq)).astype(np.int64)
         up_b = (pkeys % len(buniq)).astype(np.int64)
-        n_up = len(pkeys)
-        ua_len = np.array([len(s) for s in auniq], dtype=np.int64)
-        ub_len = np.array([len(s) for s in buniq], dtype=np.int64)
         # float64 lensum per unique pair — the exact value the original
         # per-pair form used (small ints are exact in float64)
+        ua_len = np.array([len(s) for s in auniq], dtype=np.int64)
+        ub_len = np.array([len(s) for s in buniq], dtype=np.int64)
         up_lensum = (ua_len[up_a] + ub_len[up_b]).astype(np.float64)
-        # aligned bound: lcs(a, b) ≤ Σ_c min(count_a(c), count_b(c)) and
-        # x ↦ 200·x/lensum is monotone in float64, so r ≤ r_ub exactly.
-        ha, va = _char_count_rows(list(auniq))
-        hb, vb = _char_count_rows(list(buniq))
-        common_up = np.empty(n_up, dtype=np.int64)
-        for lo in range(0, n_up, 65536):
-            sl = slice(lo, min(lo + 65536, n_up))
-            common_up[sl] = np.minimum(ha[up_a[sl]], hb[up_b[sl]]).sum(axis=1)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            r_ub_up = np.where(up_lensum > 0,
-                               200.0 * common_up / up_lensum, 100.0)
-        bs_u = best_sect[ui, uj]
-        r_ub = r_ub_up[pcodes]
-        valid_p = (va[up_a] & vb[up_b])[pcodes]
-        # r ≤ r_ub ≤ best_sect ⇒ max(r, best_sect) == best_sect: settled
-        # without the LCS; r ≤ r_ub < cutoff with best_sect < cutoff ⇒
-        # the pair cannot be kept: dead without the LCS.
-        settle = valid_p & (bs_u >= cutoff) & (r_ub <= bs_u)
-        score[ui[settle], uj[settle]] = bs_u[settle]
-        dead = valid_p & (bs_u < cutoff) & (r_ub < cutoff)
-        live = ~(settle | dead)
-        ui, uj, bs_u, pcodes = ui[live], uj[live], bs_u[live], pcodes[live]
-        lcs_up = np.zeros(n_up, dtype=np.float64)
-        need = np.zeros(n_up, dtype=bool)
-        need[pcodes] = True
-        nidx = np.nonzero(need)[0]
-        if len(nidx):
-            lcs_up[nidx] = _lcs_batch(
-                [auniq[k] for k in up_a[nidx]],
-                [buniq[k] for k in up_b[nidx]],
-            )
+        lcs_up = _lcs_batch([auniq[k] for k in up_a],
+                            [buniq[k] for k in up_b])
         with np.errstate(divide="ignore", invalid="ignore"):
             r_up = np.where(up_lensum > 0,
                             200.0 * lcs_up / up_lensum, 100.0)
         r = r_up[pcodes]
-        s_vals = np.maximum(r, bs_u)
+        s_vals = np.maximum(r, best_sect[ui, uj])
         ok = s_vals >= cutoff
         score[ui[ok], uj[ok]] = s_vals[ok]
     score[empty_side] = 0.0
