@@ -56,26 +56,27 @@ def should_broadcast(df: DataFrame, max_bytes: int, n_rows: int | None = None) -
 
 
 def scoring_npart(spark, residue_rows: int | None = None) -> int:
-    """Partition count for the cogrouped fuzzy scoring stage.  32×
-    over-decomposition evens salt-group imbalance on a full corpus: the
-    stage runs npart/dp waves of tasks, and the straggler tail of the
-    LAST wave is ∝ 1/waves.  Profiled at mult 8 on the 1.2G-pair corpus
-    (scripts/profile_block_score.py) the tail was 13.8s of a 136.5s
-    local[16] wall (10%, busy_frac 0.864); mirrored-order A/B of the
-    multiplier (geometric-mean legs, fresh JVM per leg) measured:
-    local[8] 178.2s (8×) vs 179.0s (32×) — neutral; local[16] 111.6 vs
-    103.9 — 32× wins 6.8%; local[32] 77.5 vs 74.9 — 32× wins 3.4%.  The
-    tail binds where concurrent workers are many, so the finer
-    decomposition helps exactly where scaling needs it; per-task
-    overhead (~1s total at 1024 partitions / 32 cores) stays ≪ the tail
-    it removes.  A flat dp*32 is pure scheduling overhead for the small
-    residues of later waterfall passes — so when the caller knows the
-    residue size, scale down: ~1 salt group per 64 search rows (bench
-    corpus measures ~2.9k candidate pairs per search row at 250k target
-    pairs/group), clamped to [dp, dp*32].  (The FIELD pass does not use
-    this: its rank-1 accumulation is too light per pair — flat dp
-    measured best there, operators/fieldmatch.py.)"""
+    """Partition count for the cogrouped fuzzy scoring stage: flat
+    defaultParallelism, RE-MEASURED after the round-5 exact matrix char
+    bound made the kernel ~10× faster per pair.
+
+    History: with the old kernel the stage was kernel-dominated and the
+    last-wave straggler tail (∝ 1/(npart/dp) waves) was ~10% of the
+    wall, so measured over-decomposition (up to 32×) paid.  The fast
+    kernel inverts the trade: per-task fixed costs (Arrow batch setup,
+    Python worker round-trip, scheduling) now dominate, and mirrored
+    A/B (scripts/tune_block_score.py) finds mult 1 best at EVERY width
+    and corpus size tried — sf0.1 58.7M pairs local[32]: mult1 4.7s /
+    mult2 4.6s / mult8 5.5s / mult32 10.0s; local[8]: mult1 4.06s best;
+    324M pairs local[32]: mult1 6.9s vs mult4 7.9s vs mult16 9.1s
+    (47M pairs/s).  Salt-group imbalance no longer needs scheduler help:
+    the groups' pair sums even out over ~235 groups/32 tasks, and the
+    pairs the tail used to wait on now score 10× faster.
+
+    Residue-scaled path (later waterfall passes): small residues still
+    deserve fewer tasks than cores — ~1 salt group per 64 search rows,
+    clamped to [1, dp]."""
     dp = spark.sparkContext.defaultParallelism
     if residue_rows is None:
-        return dp * 32
-    return max(dp, min(dp * 32, residue_rows // 64))
+        return dp
+    return max(1, min(dp, residue_rows // 64))

@@ -30,27 +30,27 @@ def prefilter_ref(ref: DataFrame, search: DataFrame, key: str) -> DataFrame:
 
 def salt_target_pairs_for(spark, cfg) -> int:
     """Target cross-product size per salt group for the cogrouped scorer.
-    Explicit cfg.salt_target_pairs wins; the None default is
-    concurrency-adaptive: ~2M/parallelism, clamped to [32k, 250k].
+    Explicit cfg.salt_target_pairs wins; the default is a flat 250k,
+    RE-MEASURED after the round-5 exact matrix char bound.
 
-    The scoring kernel's working set is ∝ target (the dense nl×nr
-    matrices in kernels.cross_token_set_scores: 250k pairs ≈ ~24 MB of
-    live float64 matrices per worker).  Profiling
-    (BENCH/scaling_residue.json, scripts/profile_block_score.py) shows
-    per-pair ON-CORE kernel time nearly doubles from 8 to 32 concurrent
-    workers — DRAM bandwidth saturation, invisible to the L1-resident
-    calibration probe — so at high per-node concurrency smaller groups
-    (smaller hot matrices, more cache-resident) win: interleaved A/B at
-    local[32] measured 64k ~10-15% faster than 250k, while at local[8]
-    250k is ~8% faster (per-group overhead dominates, no bandwidth
-    pressure to relieve).  2M/dp reproduces both optima.  On a real
-    cluster defaultParallelism proxies PER-NODE concurrency (executor
-    cores sharing one memory controller), which the contention tracks."""
+    History: the round-4 kernel streamed ~24 MB of float64 matrices per
+    250k-pair group and profiling showed DRAM saturation at 32
+    concurrent workers, so the default was concurrency-adaptive
+    (~2M/parallelism, clamped [32k, 250k]) to keep grids cache-resident
+    at high width.  The round-5 kernel halves the matrix bytes (int32
+    decision matrices) and skips the LCS/string stage entirely, so the
+    bandwidth term shrank below the per-group fixed costs (frozenset
+    build, inverted index, Arrow slices) that FAVOUR bigger groups:
+    mirrored A/B at mult-1 decomposition (scripts/tune_block_score.py)
+    measures the target flat within noise from 62.5k to 1M at both
+    local[8] and local[32], with 250k the consistent best at both
+    widths and at 324M pairs (47M pairs/s).  250k also keeps the
+    replicated-ref salt factor small (choose_salt_cross caps the heavy
+    block's product per group, so ref replication ∝ pairs/target)."""
     explicit = getattr(cfg, "salt_target_pairs", None)
     if explicit is not None:
         return explicit
-    dp = spark.sparkContext.defaultParallelism
-    return int(max(32_000, min(250_000, 2_000_000 // max(dp, 1))))
+    return 250_000
 
 
 def choose_salt(search: DataFrame, key: str, target_block_rows: int = 5000,

@@ -282,13 +282,12 @@ def fuzzy_pass(
     # required clustering (no second shuffle) and numbered repartitions
     # are exempt from AQE's byte-based coalescing, which would otherwise
     # serialise this compute-bound stage onto a couple of tasks.
-    # 32× over-decomposition: salt groups have uneven pair counts, so many
-    # small partitions let the scheduler balance dynamically — the
-    # straggler tail of the last wave is ∝ 1/(npart/dp) (profiled: 10% of
-    # the local[16] wall at 8×; mirrored A/B measured 32× −6.8% at
-    # local[16], −3.4% at local[32], neutral at local[8] — see
-    # _util.scoring_npart).  Residue-scaled when the caller knows how
-    # much is left to match (scoring_npart).
+    # Flat defaultParallelism decomposition: with the round-5 kernel the
+    # stage is fixed-cost-per-task dominated, and mirrored A/B finds
+    # mult-1 best at every width/corpus tried (see _util.scoring_npart;
+    # the old kernel's measured 8-32× over-decomposition inverted when
+    # the per-pair cost dropped ~10×).  Residue-scaled when the caller
+    # knows how much is left to match (scoring_npart).
     npart = scoring_npart(s.sparkSession, residue_rows)
     keys = ["__bk", *extra]
     s_salted = s_salted.repartition(npart, *[F.col(k) for k in keys])
