@@ -68,10 +68,19 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # a larger corpus than the per-round bench so the compute stage
     # dominates the fixed local-mode orchestration floor (~seconds/job,
-    # identical at both core counts, negligible on a real cluster)
-    os.environ.setdefault("SPARK_GRAFT_BENCH_SEARCH", "100000")
-    os.environ.setdefault("SPARK_GRAFT_BENCH_REF", "125000")
+    # identical at both core counts, negligible on a real cluster).
+    # Sized to the kernel: after the round-5 exact matrix bound made the
+    # scorer ~10x faster per pair, the round-4 corpus (100k x 125k,
+    # 1.2G pairs) left the hi leg's block stage at ~22s against a
+    # multi-second floor — efficiency read 0.715 with the floor, not the
+    # plan, as the gap.  200k x 250k (~4.8G pairs) restores a
+    # compute-dominated hi leg (~85s block stage, floor <5%).
+    os.environ.setdefault("SPARK_GRAFT_BENCH_SEARCH", "200000")
+    os.environ.setdefault("SPARK_GRAFT_BENCH_REF", "250000")
     os.environ.setdefault("SPARK_GRAFT_SKIP_FIELD", "1")
+    # 2 interleaved reps per leg bound the wall-clock at the bigger
+    # corpus; ABBA cancels linear drift, min-of-reps guards bursts
+    os.environ.setdefault("SPARK_GRAFT_REPS", "2")
     lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "4"))
     hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", str(lo * 4)))
     # A/B/B/A leg order: with a drift that is (to first order) linear in
