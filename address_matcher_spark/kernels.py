@@ -632,6 +632,15 @@ def cross_token_set_scores(
         # string.  (For C==0 this reduces to the old disjoint bound.)
         cnt_a, valid_a = _char_count_rows(ljoin)
         cnt_b, valid_b = _char_count_rows(rjoin)
+        # the separator identity requires space-FREE tokens (guaranteed
+        # on the product path, which tokenizes with .split()); a direct
+        # caller passing tokens with internal spaces would get a
+        # too-low bound here, so such rows fall through to the exact
+        # per-pair LCS instead (same as non-ascii rows)
+        valid_a &= np.fromiter(
+            (all(" " not in t for t in s) for s in lsets), np.bool_, nl)
+        valid_b &= np.fromiter(
+            (all(" " not in t for t in s) for s in rsets), np.bool_, nr)
         both = (cnt_a.sum(axis=0) > 0) & (cnt_b.sum(axis=0) > 0)
         both[32] = False  # separators accounted via min(n_ab, n_ba) - 1
         common = mat("common", np.int32)

@@ -307,3 +307,26 @@ def test_cross_scores_match_scalar_adversarial():
                     assert got.get((i, j)) == want, (i, j, ta, tb, cutoff)
                 else:
                     assert (i, j) not in got, (i, j, ta, tb, cutoff)
+
+
+def test_cross_scores_internal_space_tokens():
+    """Tokens containing a literal space break the matrix bound's
+    separator identity (min(n_ab, n_ba) - 1 assumes space-free tokens,
+    which .split() guarantees on the product path) — such rows must fall
+    through to the exact per-pair LCS, not a silently-low bound."""
+    lt = [["12 high", "street"], ["flat 2", "maple", "road"]]
+    rt = [["12", "high street"], ["maple", "road", "flat", "2"]]
+    for cutoff in (0.0, 50.0, 85.0):
+        il, jr, sc = K.cross_token_set_scores(lt, rt, cutoff)
+        got = {(i, j): s for i, j, s in zip(il.tolist(), jr.tolist(),
+                                            sc.tolist())}
+        for i, ta in enumerate(lt):
+            fa = frozenset(ta)
+            ca = sum(map(len, fa))
+            for j, tb in enumerate(rt):
+                fb = frozenset(tb)
+                want = K.tsr_presplit(fa, fb, ca, sum(map(len, fb)), cutoff)
+                if want >= cutoff:
+                    assert got.get((i, j)) == want, (i, j, cutoff)
+                else:
+                    assert (i, j) not in got, (i, j, cutoff)
