@@ -243,10 +243,19 @@ def main() -> None:
     # affects JIT/GC warm-up on this box); scaling_run skips it entirely
     # so its artifacts stay comparable across rounds
     if os.environ.get("SPARK_GRAFT_SKIP_FIELD") != "1":
-        _, t_field = run_field_pass(spark, sides, cfg)
-        queries["er_field_pass"] = round(t_field, 3)
-        _, t_wf8 = run_er_waterfall_full(spark, sides)
-        queries["er_waterfall_full_8pass"] = round(t_wf8, 3)
+        # same min-of-reps treatment as the headline stages: these two
+        # were single-shot through round 5 and swung 5.0-7.5s run-to-run
+        # on pure machine noise (the stage order — field after the
+        # waterfall, 8-pass after field — is preserved inside each rep)
+        field_times: list[float] = []
+        wf8_times: list[float] = []
+        for _ in range(min(reps, 2)):
+            _, t_field = run_field_pass(spark, sides, cfg)
+            _, t_wf8 = run_er_waterfall_full(spark, sides)
+            field_times.append(t_field)
+            wf8_times.append(t_wf8)
+        queries["er_field_pass"] = round(min(field_times), 3)
+        queries["er_waterfall_full_8pass"] = round(min(wf8_times), 3)
     for name in OPERATOR_QUERIES:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
