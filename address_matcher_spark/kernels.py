@@ -475,6 +475,12 @@ def _lcs_batch(a_strs: list[str], b_strs: list[str]) -> np.ndarray:
     return out
 
 
+# Largest joined-token-string length the int32 matrix char bound can hold
+# without the common*200 step wrapping; longer rows fall to the exact LCS.
+# Module-level so tests can lower it to exercise the fallback routing.
+_I32_SAFE_CHARS = (2**31 - 1) // 200
+
+
 def cross_token_set_scores(
     left_tokens: list, right_tokens: list, cutoff: float
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -526,8 +532,10 @@ def cross_token_set_scores(
     # int32 operands to float64 BEFORE dividing — the quotient rounds
     # identically to the old float64-held-integer form.  (Bound: char
     # sums stay < 2^31/200 ≈ 10.7M chars per joined string — orders of
-    # magnitude above any address row; longer inputs belong to the
-    # scalar path anyway.)  Operation ORDER matches the original
+    # magnitude above any address row, and ENFORCED below: rows above
+    # the threshold are cleared from the matrix char bound's validity
+    # mask and decided by the exact per-pair LCS instead.)  Operation
+    # ORDER matches the original
     # expressions so results stay bit-identical (parity tests pin this).
     size = nl * nr
 
@@ -641,6 +649,15 @@ def cross_token_set_scores(
             (all(" " not in t for t in s) for s in lsets), np.bool_, nl)
         valid_b &= np.fromiter(
             (all(" " not in t for t in s) for s in rsets), np.bool_, nr)
+        # int32 headroom guard: the bound computes common*200 in int32, and
+        # per-cell common ≤ min(row char count, col char count); a row with
+        # > (2^31-1)/200 ≈ 10.7M joined chars could wrap negative and
+        # wrongly retire pairs.  Route such rows to the exact LCS instead
+        # (same path as non-ascii rows) — never hit on the product path.
+        valid_a &= np.fromiter(
+            (len(s) <= _I32_SAFE_CHARS for s in ljoin), np.bool_, nl)
+        valid_b &= np.fromiter(
+            (len(s) <= _I32_SAFE_CHARS for s in rjoin), np.bool_, nr)
         both = (cnt_a.sum(axis=0) > 0) & (cnt_b.sum(axis=0) > 0)
         both[32] = False  # separators accounted via min(n_ab, n_ba) - 1
         common = mat("common", np.int32)
@@ -724,18 +741,21 @@ def cross_token_set_scores(
 
 def token_set_ratio_batch(left, right, cutoff: float | None = None) -> np.ndarray:
     """Batched token_set_ratio: tokenization cached per unique string,
-    scores cached per unique pair, LCS pruned via cutoff bounds."""
+    scores cached per unique pair, LCS pruned via cutoff bounds.
+    None/NaN score as '' — normalized BEFORE factorize (see
+    _norm_str_array; factorize's -1 missing code otherwise corrupts the
+    pair-key indexing)."""
     import pandas as pd
 
-    left = np.asarray(left, dtype=object)
-    right = np.asarray(right, dtype=object)
+    left = _norm_str_array(left)
+    right = _norm_str_array(right)
     n = len(left)
     if n == 0:
         return np.empty(0, dtype=np.float64)
     lcodes, luniq = pd.factorize(left)
     rcodes, runiq = pd.factorize(right)
-    ltoks = [frozenset(("" if s is None else str(s)).split()) for s in luniq]
-    rtoks = [frozenset(("" if s is None else str(s)).split()) for s in runiq]
+    ltoks = [frozenset(s.split()) for s in luniq]
+    rtoks = [frozenset(s.split()) for s in runiq]
     width = len(runiq) if len(runiq) else 1
     key = lcodes.astype(np.int64) * width + rcodes
     pair_codes, pair_keys = pd.factorize(key)

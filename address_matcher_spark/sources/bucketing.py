@@ -117,6 +117,92 @@ def _path_has_success(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+def _verify_layout_by_scan(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    key: str,
+    n_buckets: int,
+    sort: bool,
+) -> None:
+    """Prove the on-disk files carry the declared bucket layout by
+    SCANNING them (one-time sidecar migration, ADVICE r5): schema
+    equality, per-row pmod(murmur3(key), n) == the filename's bucket id
+    (Spark's HashPartitioning.partitionIdExpression — F.hash is the same
+    murmur3/seed-42), and per-file key monotonicity when sort=True.
+    Stronger than trusting a sidecar; costs one read of the table.
+
+    The sort probe checks consecutive same-file runs within each scan
+    partition; a file large enough to be SPLIT across partitions is not
+    checked across the split boundary (migration tables here are single
+    write-task outputs, far below maxPartitionBytes)."""
+    from pyspark.sql import functions as F
+
+    disk = spark.read.parquet(path)
+    want_schema = [[f.name, f.dataType.simpleString()]
+                   for f in df.schema.fields]
+    got_schema = [[f.name, f.dataType.simpleString()]
+                  for f in disk.schema.fields]
+    if want_schema != got_schema:
+        raise ValueError(
+            f"bucketed table at {path} (no sidecar) has on-disk schema "
+            f"{got_schema!r} but the declaration expects {want_schema!r}; "
+            "refusing to migrate — rewrite the table"
+        )
+    ids = _file_bucket_ids(spark, path)
+    if ids and max(ids) >= n_buckets:
+        raise ValueError(
+            f"bucketed table at {path} (no sidecar) contains bucket-id "
+            f"{max(ids)} >= declared bucket count {n_buckets}; refusing "
+            "to migrate — rewrite the table"
+        )
+    probe = disk.select(
+        F.col(key).alias("__k"),
+        F.regexp_extract(F.input_file_name(), r"_(\d{5})\.c\d+", 1)
+        .cast("int").alias("__fid"),
+        F.pmod(F.hash(F.col(key)), F.lit(n_buckets)).alias("__hid"),
+        F.input_file_name().alias("__f"),
+    )
+    bad_hash = probe.where(
+        F.col("__fid").isNull() | (F.col("__fid") != F.col("__hid"))
+    ).limit(1).count()
+    if bad_hash:
+        raise ValueError(
+            f"bucketed table at {path} (no sidecar): rows hash to a "
+            f"different bucket than their filename claims under key="
+            f"{key!r} n_buckets={n_buckets}; the files were not written "
+            "with this layout — rewrite the table"
+        )
+    if sort:
+        def _runs_sorted(batches):
+            import pandas as pd
+
+            last_f = None
+            last_k = None
+            viol = 0
+            for b in batches:
+                for f, k in zip(b["__f"].values, b["__k"].values):
+                    if f == last_f:
+                        # ascending, nulls first (Spark sortBy default)
+                        if last_k is not None and (k is None or k < last_k):
+                            viol += 1
+                    last_f, last_k = f, k
+            yield pd.DataFrame({"viol": [viol]})
+
+        total = (
+            probe.select("__f", "__k")
+            .mapInPandas(_runs_sorted, "viol long")
+            .agg(F.sum("viol").alias("v")).first()["v"]
+        )
+        if total:
+            raise ValueError(
+                f"bucketed table at {path} (no sidecar) declares "
+                f"sort={sort} but {total} in-file key inversions were "
+                "found; refusing to migrate — rewrite the table or "
+                "declare sort=False"
+            )
+
+
 def _validate_bucket_layout(
     spark: SparkSession,
     df: DataFrame,
@@ -129,14 +215,19 @@ def _validate_bucket_layout(
     declare.  CREATE TABLE ... CLUSTERED BY over existing files is a pure
     TRUST declaration: if AM_REF_BUCKETS or the standardisation schema
     changed between runs, Spark would assume a hash partitioning the files
-    don't have and exchange-free joins would silently drop/misroute rows."""
+    don't have and exchange-free joins would silently drop/misroute rows.
+
+    Tables written before the sidecar existed migrate in place: the
+    layout is PROVEN by scanning the files (_verify_layout_by_scan),
+    then the sidecar is written so later declares are metadata-only."""
     raw = _read_text(spark, f"{path}/{_SIDECAR}")
     if raw is None:
-        raise ValueError(
-            f"bucketed table at {path} has no {_SIDECAR} sidecar; cannot "
-            "prove its bucket layout matches the declaration — rewrite the "
-            "table (delete the directory) or restore the sidecar"
+        _verify_layout_by_scan(spark, df, path, key, n_buckets, sort)
+        _write_text(
+            spark, f"{path}/{_SIDECAR}",
+            json.dumps(_bucket_spec(df, key, n_buckets, sort)),
         )
+        return
     spec = json.loads(raw)
     want = _bucket_spec(df, key, n_buckets, sort)
     for field in ("key", "n_buckets", "sort", "schema"):

@@ -249,17 +249,42 @@ def test_bucketed_ref_redeclare_validates_sidecar(spark, tmp_path, er_sides):
             spark, er_sides["rmin"].drop("street_key"), "t_am_ref_spec",
             n_buckets=8, path=path,
         )
-    # missing sidecar -> refuse (cannot prove the layout)
-    os.remove(os.path.join(path, "_bucket_spec.json"))
-    # the local ChecksumFileSystem keeps a .crc shadow; drop it so the
-    # hand-written sidecar below reads cleanly
-    crc = os.path.join(path, "._bucket_spec.json.crc")
-    if os.path.exists(crc):
-        os.remove(crc)
-    with _pytest.raises(ValueError, match="sidecar"):
+    def _drop_sidecar():
+        os.remove(os.path.join(path, "_bucket_spec.json"))
+        # the local ChecksumFileSystem keeps a .crc shadow; drop it so a
+        # later sidecar write/hand-edit reads cleanly
+        crc = os.path.join(path, "._bucket_spec.json.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+
+    # missing sidecar + CORRECT declaration -> one-time migration: the
+    # layout is proven by scanning (schema, per-row bucket hash vs
+    # filename id, in-file sort) and the sidecar is rewritten
+    _drop_sidecar()
+    rb = BK.ensure_bucketed_ref(
+        spark, er_sides["rmin"], "t_am_ref_spec", n_buckets=8, path=path,
+    )
+    assert rb.count() == er_sides["rmin"].count()
+    assert os.path.exists(os.path.join(path, "_bucket_spec.json"))
+    spark.sql("DROP TABLE t_am_ref_spec")
+
+    # missing sidecar + WRONG bucket count -> the scan catches the hash
+    # mismatch (rows land in buckets the declaration says they shouldn't;
+    # 16 passes the filename-id check — max id 7 < 16 — so only the
+    # per-row hash probe can refuse it)
+    _drop_sidecar()
+    with _pytest.raises(ValueError, match="hash"):
         BK.ensure_bucketed_ref(
-            spark, er_sides["rmin"], "t_am_ref_spec", n_buckets=8, path=path,
+            spark, er_sides["rmin"], "t_am_ref_spec", n_buckets=16,
+            path=path,
         )
+    assert not os.path.exists(os.path.join(path, "_bucket_spec.json"))
+    # restore the good sidecar for the hand-edit case below
+    BK.ensure_bucketed_ref(
+        spark, er_sides["rmin"], "t_am_ref_spec", n_buckets=8, path=path,
+    )
+    spark.sql("DROP TABLE t_am_ref_spec")
+    _drop_sidecar()
     # sidecar disagreeing with the files' bucket ids -> refuse
     spec = {
         "key": "postcode_search", "n_buckets": 4, "sort": True,

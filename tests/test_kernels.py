@@ -266,6 +266,17 @@ def test_jw_batch_and_batch_apply_handle_missing():
     assert got.tolist() == want
     got_r = K.ratio_batch(left, right)
     assert got_r.tolist() == [0.0, 0.0, 0.0, 100.0, 100.0]
+    # token_set_ratio_batch had the same latent bug (ADVICE r5): missing
+    # codes poisoned the pair keys so None pairs read the WRONG unique
+    # strings (a 'flat 1 maple road'-vs-None pair scored 100.0).
+    left_t = ["flat 1 maple road", None, float("nan"), "flat 1 maple road",
+              None]
+    right_t = [None, "flat 1 maple road", "flat 1 maple road",
+               "flat 1 maple road", None]
+    got_t = K.token_set_ratio_batch(left_t, right_t)
+    assert got_t.tolist() == [0.0, 0.0, 0.0, 100.0, 0.0]
+    got_tc = K.token_set_ratio_batch(left_t, right_t, cutoff=50.0)
+    assert got_tc.tolist() == [0.0, 0.0, 0.0, 100.0, 0.0]
 
 
 def test_cross_scores_match_scalar_adversarial():
@@ -307,6 +318,35 @@ def test_cross_scores_match_scalar_adversarial():
                     assert got.get((i, j)) == want, (i, j, ta, tb, cutoff)
                 else:
                     assert (i, j) not in got, (i, j, ta, tb, cutoff)
+
+
+def test_cross_scores_i32_char_guard_routes_to_lcs(monkeypatch):
+    """Rows whose joined token string exceeds the int32 char-bound budget
+    (common*200 would wrap) must be cleared from the matrix bound's
+    validity mask and decided by the exact LCS.  The real threshold
+    (~10.7M chars) is impractical to exercise directly, so lower it and
+    check parity with the scalar spec on rows that straddle it."""
+    monkeypatch.setattr(K, "_I32_SAFE_CHARS", 12)
+    lt = [["abcdefgh", "ijklmnop"],       # 17 joined chars: over budget
+          ["abc", "def"],                  # 7 joined chars: under budget
+          ["qqqqqqqqqqqqqqqq"]]            # 16 chars, disjoint vs right
+    rt = [["abcdefgh", "ijklmnoq"],        # over budget
+          ["abd", "def"],
+          ["qqqqqqqqqqqqqqqr"]]
+    for cutoff in (0.0, 50.0, 85.0):
+        il, jr, sc = K.cross_token_set_scores(lt, rt, cutoff)
+        got = {(i, j): s for i, j, s in zip(il.tolist(), jr.tolist(),
+                                            sc.tolist())}
+        for i, ta in enumerate(lt):
+            fa = frozenset(ta)
+            ca = sum(map(len, fa))
+            for j, tb in enumerate(rt):
+                fb = frozenset(tb)
+                want = K.tsr_presplit(fa, fb, ca, sum(map(len, fb)), cutoff)
+                if want >= cutoff:
+                    assert got.get((i, j)) == want, (i, j, cutoff)
+                else:
+                    assert (i, j) not in got, (i, j, cutoff)
 
 
 def test_cross_scores_internal_space_tokens():
