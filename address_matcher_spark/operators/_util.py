@@ -80,3 +80,22 @@ def scoring_npart(spark, residue_rows: int | None = None) -> int:
     if residue_rows is None:
         return dp
     return max(1, min(dp, residue_rows // 64))
+
+
+def pack_group_count(spark, npart: int, side_rows: int | None = None,
+                     rows_cap: int = 100_000) -> int:
+    """Bucket count for blocking.pack_groups: enough buckets for the
+    scheduler to balance (4 per scoring partition) but no more — every
+    bucket is one Arrow/pandas UDF dispatch (~ms of fixed cost), which is
+    exactly what packing exists to amortise.
+
+    Scale guard: applyInPandas materialises one GROUP at a time in the
+    Python worker, so a bucket must stay memory-bounded — when the caller
+    knows the (larger) side's row count, the count is raised so no bucket
+    expects more than ~rows_cap rows on average.  At bench scale this
+    never binds (45k rows / 128 buckets); at 100 TB it keeps worker
+    memory flat as npart stays pinned to cluster cores while data grows."""
+    g = npart * 4
+    if side_rows:
+        g = max(g, -(-int(side_rows) // rows_cap))
+    return g

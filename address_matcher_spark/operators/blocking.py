@@ -165,6 +165,41 @@ def salt_for_cogroup_adaptive(
     return s, r, ["__si", "__sj"]
 
 
+def pack_groups(
+    search: DataFrame,
+    ref: DataFrame,
+    key: str,
+    extra: list[str],
+    n_groups: int,
+):
+    """Pack (block, salt) cogroup keys into ~n_groups hash buckets.
+
+    The cogrouped scorer pays a fixed Arrow/pandas dispatch cost PER
+    GROUP (two pandas frames built, one UDF invocation, one result frame
+    — measured ~40 ms against ~0.7 ms of kernel time for a typical
+    postcode block).  With one group per block that overhead dominates
+    whenever blocks are small, which is the normal shape for postcode
+    blocking at any scale.  Bucketing blocks by hash turns ~#blocks
+    invocations into ~n_groups, and the scorer sub-groups by the block
+    column INSIDE the UDF with one factorize + argsort (numpy, amortised
+    over the whole bucket) — the reference's greedy batch packer
+    (tools/matcher_funcs.py:894-986) re-expressed as a hash pack.
+
+    Correctness: a (block, si, sj) group lands in exactly one
+    (bucket, si, sj) group, and the scorer never crosses rows from
+    different blocks (it sub-groups by the block column), so the pair
+    set is identical to the unpacked plan.  Heavy blocks keep their grid
+    salting: their salt shards spread over (bucket, si, sj) keys exactly
+    as before.
+    """
+    gb = F.pmod(F.xxhash64(F.col(key)), F.lit(n_groups)).cast("int")
+    return (
+        search.withColumn("__gb", gb),
+        ref.withColumn("__gb", gb),
+        ["__gb", *extra],
+    )
+
+
 def block_join(
     search: DataFrame,
     ref: DataFrame,

@@ -77,6 +77,7 @@ def field_cross_score(
     search: DataFrame,
     ref: DataFrame,
     key_cols: list[str],
+    block_col: str | None = None,
 ) -> DataFrame:
     """The field-wise analogue of scoring.block_cross_score: cogroup both
     sides by (block, salt) and compute the FULL weighted per-field score
@@ -142,73 +143,124 @@ def field_cross_score(
         )
         if left.empty or right.empty:
             return empty
-        nl, nr = len(left), len(right)
-        # Rank-1 accumulation: a field whose value is CONSTANT on one side
-        # within the group (7 of 9 exact predicted fields are blank
-        # literals; the postcode is near-constant inside a postcode block)
-        # contributes a per-row or per-column VECTOR, added to the matrix
-        # once at the end — only fields that genuinely vary on BOTH sides
-        # pay an nl×nr matrix add.
-        total = np.zeros((nl, nr), dtype=np.float64)
-        row_acc = np.zeros(nl, dtype=np.float64)   # right side constant
-        col_acc = np.zeros(nr, dtype=np.float64)   # left side constant
-        const_acc = 0.0
+        # Column extraction + lowering happens ONCE per Arrow group (the
+        # row-wise Python loops in _lower/_txt are the per-row cost);
+        # per-block scoring below works on index slices of these arrays.
+        l_vals = {c: _lower(left[f"p_{c}"]) for c in exact_cols}
+        r_vals = {c: _lower(right[c]) for c in exact_cols}
+        l_txts = {c: _txt(left[f"p_{c}"]) for c in text_cols}
+        r_txts = {c: _txt(right[c]) for c in text_cols}
+        l_levs = {c: _txt(left[f"p_{c}"]) for c in lev_cols}
+        r_levs = {c: _txt(right[REF_COL.get(c, c)]) for c in lev_cols}
+        lids_all = left["record_id"].to_numpy()
+        rids_all = right["ref_id"].to_numpy()
 
-        def accumulate(lv: np.ndarray, rv: np.ndarray, w: float, fn,
-                       grid_fn=None) -> None:
-            nonlocal const_acc, total, row_acc, col_acc
-            lc, lu = pd.factorize(lv)
-            rc, ru = pd.factorize(rv)
-            if len(lu) == 1 and len(ru) == 1:
-                const_acc += w * fn(lu[0], ru[0])
-                return
-            if grid_fn is not None:
-                grid = grid_fn(lu, ru)
-            else:
-                grid = np.empty((len(lu), len(ru)), dtype=np.float64)
-                for i, a in enumerate(lu):
-                    for j, b in enumerate(ru):
-                        grid[i, j] = fn(a, b)
-            if len(lu) == 1:
-                col_acc += w * grid[0][rc]
-            elif len(ru) == 1:
-                row_acc += w * grid[:, 0][lc]
-            else:
-                total += w * grid[np.ix_(lc, rc)]
+        def score_block(li: np.ndarray, ri: np.ndarray):
+            """One block's weighted score matrix + per-record max rows.
+            Rank-1 accumulation: a field whose value is CONSTANT on one
+            side within the block (7 of 9 exact predicted fields are
+            blank literals; the postcode is near-constant inside a
+            postcode block) contributes a per-row or per-column VECTOR,
+            added to the matrix once at the end — only fields that
+            genuinely vary on BOTH sides pay an nl×nr matrix add."""
+            nl, nr = len(li), len(ri)
+            total = np.zeros((nl, nr), dtype=np.float64)
+            row_acc = np.zeros(nl, dtype=np.float64)   # right side constant
+            col_acc = np.zeros(nr, dtype=np.float64)   # left side constant
+            const_acc = 0.0
 
-        def _eq_grid(lu, ru) -> np.ndarray:
-            return (lu[:, None] == ru[None, :]).astype(np.float64)
+            def accumulate(lv: np.ndarray, rv: np.ndarray, w: float, fn,
+                           grid_fn=None) -> None:
+                nonlocal const_acc, total, row_acc, col_acc
+                lc, lu = pd.factorize(lv)
+                rc, ru = pd.factorize(rv)
+                if len(lu) == 1 and len(ru) == 1:
+                    const_acc += w * fn(lu[0], ru[0])
+                    return
+                if grid_fn is not None:
+                    grid = grid_fn(lu, ru)
+                else:
+                    grid = np.empty((len(lu), len(ru)), dtype=np.float64)
+                    for i, a in enumerate(lu):
+                        for j, b in enumerate(ru):
+                            grid[i, j] = fn(a, b)
+                if len(lu) == 1:
+                    col_acc += w * grid[0][rc]
+                elif len(ru) == 1:
+                    row_acc += w * grid[:, 0][lc]
+                else:
+                    total += w * grid[np.ix_(lc, rc)]
 
-        for c in exact_cols:
-            accumulate(_lower(left[f"p_{c}"]), _lower(right[c]),
-                       WEIGHTS[c], _eq_sim, _eq_grid)
-        for c in text_cols:
-            # distinct-pair grids on both-side-varying fields (PaoText,
-            # Street in big blocks) are the hot loop — the lockstep JW
-            # batch kernel (bit-exact with the scalar) runs them at
-            # ~1.3M pairs/s vs ~100k/s interpreted
-            accumulate(_txt(left[f"p_{c}"]), _txt(right[c]),
-                       WEIGHTS[c], K.jaro_winkler_similarity,
-                       K.jaro_winkler_grid)
-        for c in lev_cols:
-            # postcode is block-constant inside a postcode block (rank-1
-            # path), but VARIES ON BOTH SIDES inside a street block — a
-            # big-city street can hold hundreds of distinct postcodes per
-            # side, so the distinct-pair grid runs on the lockstep Myers
-            # lane (K.levenshtein_sim_grid, exact vs the scalar DP,
-            # ~4.3M pairs/s vs ~190k/s interpreted)
-            accumulate(_txt(left[f"p_{c}"]), _txt(right[REF_COL.get(c, c)]),
-                       WEIGHTS[c], _lev_sim, K.levenshtein_sim_grid)
-        total += row_acc[:, None]
-        total += col_acc[None, :]
-        total += const_acc
-        pct = np.round(100.0 * total / WEIGHT_SUM, 1)
-        mx = pct.max(axis=1)
-        il, jr = np.nonzero(pct == mx[:, None])
+            def _eq_grid(lu, ru) -> np.ndarray:
+                return (lu[:, None] == ru[None, :]).astype(np.float64)
+
+            for c in exact_cols:
+                accumulate(l_vals[c][li], r_vals[c][ri],
+                           WEIGHTS[c], _eq_sim, _eq_grid)
+            for c in text_cols:
+                # distinct-pair grids on both-side-varying fields (PaoText,
+                # Street in big blocks) are the hot loop — the lockstep JW
+                # batch kernel (bit-exact with the scalar) runs them at
+                # ~1.3M pairs/s vs ~100k/s interpreted
+                accumulate(l_txts[c][li], r_txts[c][ri],
+                           WEIGHTS[c], K.jaro_winkler_similarity,
+                           K.jaro_winkler_grid)
+            for c in lev_cols:
+                # postcode is block-constant inside a postcode block
+                # (rank-1 path), but VARIES ON BOTH SIDES inside a street
+                # block — a big-city street can hold hundreds of distinct
+                # postcodes per side, so the distinct-pair grid runs on
+                # the lockstep Myers lane (K.levenshtein_sim_grid, exact
+                # vs the scalar DP, ~4.3M pairs/s vs ~190k/s interpreted)
+                accumulate(l_levs[c][li], r_levs[c][ri],
+                           WEIGHTS[c], _lev_sim, K.levenshtein_sim_grid)
+            total += row_acc[:, None]
+            total += col_acc[None, :]
+            total += const_acc
+            pct = np.round(100.0 * total / WEIGHT_SUM, 1)
+            mx = pct.max(axis=1)
+            il, jr = np.nonzero(pct == mx[:, None])
+            return lids_all[li][il], rids_all[ri][jr], pct[il, jr]
+
+        if block_col is None:
+            ids, rids, sc = score_block(np.arange(len(left)),
+                                        np.arange(len(right)))
+            return pd.DataFrame(
+                {"record_id": ids, "ref_id": rids, "fuzzy_score": sc})
+        # packed buckets (blocking.pack_groups): sub-group by the block
+        # column — one factorize + argsort per bucket, one score_block per
+        # block.  Per-record max stays PER BLOCK (a record belongs to one
+        # block, so its per-block max rows are its per-group max rows from
+        # the unpacked plan; the caller's keep_max_score window restores
+        # global semantics across salt shards exactly as before).
+        lb = left[block_col].to_numpy(dtype=object)
+        rb = right[block_col].to_numpy(dtype=object)
+        codes, uniq = pd.factorize(np.concatenate([lb, rb]))
+        lc, rc = codes[: len(lb)], codes[len(lb):]
+        lo = np.argsort(lc, kind="stable")
+        ro = np.argsort(rc, kind="stable")
+        edges = np.arange(len(uniq) + 1)
+        lsplit = np.searchsorted(lc[lo], edges)
+        rsplit = np.searchsorted(rc[ro], edges)
+        id_parts: list[np.ndarray] = []
+        rid_parts: list[np.ndarray] = []
+        sc_parts: list[np.ndarray] = []
+        for u in range(len(uniq)):
+            li = lo[lsplit[u]:lsplit[u + 1]]
+            ri = ro[rsplit[u]:rsplit[u + 1]]
+            if len(li) == 0 or len(ri) == 0:
+                continue  # block present on one side only in this salt
+            ids, rids, sc = score_block(li, ri)
+            if len(ids):
+                id_parts.append(ids)
+                rid_parts.append(rids)
+                sc_parts.append(sc)
+        if not id_parts:
+            return empty
         return pd.DataFrame({
-            "record_id": left["record_id"].to_numpy()[il],
-            "ref_id": right["ref_id"].to_numpy()[jr],
-            "fuzzy_score": pct[il, jr],
+            "record_id": np.concatenate(id_parts),
+            "ref_id": np.concatenate(rid_parts),
+            "fuzzy_score": np.concatenate(sc_parts),
         })
 
     return (
@@ -259,7 +311,6 @@ def field_candidates(
         r.select("ref_id", "__bk", *r_cols),
         "__bk", blocking.salt_target_pairs_for(s.sparkSession, cfg),
     )
-    keys = ["__bk", *extra]
     # flat defaultParallelism, NOT the fuzzy passes' dp*8 over-
     # decomposition: the field scorer's rank-1 accumulation makes
     # per-pair work so light that per-partition scheduling overhead
@@ -269,9 +320,16 @@ def field_candidates(
     # decomposition win there — scoring_npart.)  Residue scaling can only
     # raise the count above dp, so it does not apply here either.
     npart = s.sparkSession.sparkContext.defaultParallelism
+    # pack blocks into ~4·npart buckets: per-group Arrow/pandas dispatch
+    # is the dominant fixed cost for small blocks (see
+    # blocking.pack_groups); the UDF sub-groups by __bk internally
+    n_groups = _util.pack_group_count(s.sparkSession, npart, residue_rows)
+    s_salted, r_salted, keys = blocking.pack_groups(
+        s_salted, r_salted, "__bk", extra, n_groups
+    )
     s_salted = s_salted.repartition(npart, *[F.col(k) for k in keys])
     r_salted = r_salted.repartition(npart, *[F.col(k) for k in keys])
-    cand = field_cross_score(s_salted, r_salted, keys)
+    cand = field_cross_score(s_salted, r_salted, keys, block_col="__bk")
     return select.keep_max_score(cand, "record_id")
 
 

@@ -38,6 +38,7 @@ def block_cross_score(
     ref_id: str = "ref_id",
     search_addr: str = "search_mod_address",
     ref_addr: str = "reference_mod_address",
+    block_col: str | None = None,
 ):
     """J1, the cdist shape: cogroup both sides by the block key and score
     the full cross product INSIDE the UDF (tools/fuzzy_match.py:88-94).
@@ -49,6 +50,12 @@ def block_cross_score(
     result rows.  Skew is handled upstream by salting the search side
     and replicating the ref side, which splits a heavy block's cross
     product across salt groups.
+
+    block_col: when the caller packed many blocks into one cogroup key
+    (blocking.pack_groups), the real block key arrives as a DATA column
+    of this name; the UDF sub-groups by it (one factorize + argsort per
+    bucket) and scores each block's cross product separately — identical
+    pair set, ~#buckets UDF dispatches instead of ~#blocks.
     """
     import numpy as np
 
@@ -68,12 +75,50 @@ def block_cross_score(
         ltoks = [("" if s is None else s).split() for s in left[search_addr]]
         rtoks = [("" if s is None else s).split() for s in right[ref_addr]]
         tk = time.perf_counter() if prof_dir else 0.0
-        il, jr, sc = K.cross_token_set_scores(ltoks, rtoks, cutoff)
-        out = pd.DataFrame({
-            search_id: lids[il],
-            ref_id: rids[jr],
-            "fuzzy_score": sc,
-        })
+        pairs = 0
+        if block_col is None:
+            pairs = len(lids) * len(rids)
+            il, jr, sc = K.cross_token_set_scores(ltoks, rtoks, cutoff)
+            out = pd.DataFrame({
+                search_id: lids[il],
+                ref_id: rids[jr],
+                "fuzzy_score": sc,
+            })
+        else:
+            lb = left[block_col].to_numpy(dtype=object)
+            rb = right[block_col].to_numpy(dtype=object)
+            codes, uniq = pd.factorize(np.concatenate([lb, rb]))
+            lc, rc = codes[: len(lb)], codes[len(lb):]
+            lo = np.argsort(lc, kind="stable")
+            ro = np.argsort(rc, kind="stable")
+            edges = np.arange(len(uniq) + 1)
+            lsplit = np.searchsorted(lc[lo], edges)
+            rsplit = np.searchsorted(rc[ro], edges)
+            id_parts: list[np.ndarray] = []
+            rid_parts: list[np.ndarray] = []
+            sc_parts: list[np.ndarray] = []
+            for u in range(len(uniq)):
+                li = lo[lsplit[u]:lsplit[u + 1]]
+                ri = ro[rsplit[u]:rsplit[u + 1]]
+                if len(li) == 0 or len(ri) == 0:
+                    continue  # block present on one side only in this salt
+                pairs += len(li) * len(ri)
+                il, jr, sc = K.cross_token_set_scores(
+                    [ltoks[i] for i in li], [rtoks[j] for j in ri], cutoff
+                )
+                if len(il):
+                    id_parts.append(lids[li][il])
+                    rid_parts.append(rids[ri][jr])
+                    sc_parts.append(sc)
+            if id_parts:
+                out = pd.DataFrame({
+                    search_id: np.concatenate(id_parts),
+                    ref_id: np.concatenate(rid_parts),
+                    "fuzzy_score": np.concatenate(sc_parts),
+                })
+            else:
+                out = pd.DataFrame(
+                    {search_id: [], ref_id: [], "fuzzy_score": []})
         if prof_dir:
             # scaling-residue instrumentation (scripts/profile_block_score
             # .py): per-group (start, call wall s, kernel wall s, pairs,
@@ -84,7 +129,7 @@ def block_cross_score(
             c1 = time.process_time()
             with open(f"{prof_dir}/{os.getpid()}.csv", "a") as fh:
                 fh.write(
-                    f"{t0},{t1 - t0},{t1 - tk},{len(lids) * len(rids)},"
+                    f"{t0},{t1 - t0},{t1 - tk},{pairs},"
                     f"{c1 - c0}\n"
                 )
         return out

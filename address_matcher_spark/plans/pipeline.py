@@ -21,6 +21,10 @@ UDFs; everything else is codegen'd expressions and windows.
 
 from __future__ import annotations
 
+import threading as _threading
+import time as _time
+from concurrent.futures import Future as CFuture
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -49,6 +53,9 @@ class MatchConfig:
     broadcast_ref: bool | None = None       # None → measure bytes (see below)
     broadcast_max_bytes: int = 256 * 1024 * 1024  # explicit-broadcast ceiling
     run_field_passes: bool = True
+    paired_blockers: bool = True            # run pc+street of one level
+                                            # concurrently (output-identical;
+                                            # see run_waterfall level pairing)
     area_cofilter: bool = True              # F3 (tools/matcher_funcs.py:567-606)
     address_cols: tuple = ("address_line1", "address_line2", "town")
     postcode_col: str = "postcode"
@@ -289,11 +296,20 @@ def fuzzy_pass(
     # the per-pair cost dropped ~10×).  Residue-scaled when the caller
     # knows how much is left to match (scoring_npart).
     npart = scoring_npart(s.sparkSession, residue_rows)
-    keys = ["__bk", *extra]
+    # Pack blocks into ~4·npart hash buckets: the cogrouped scorer pays a
+    # fixed Arrow/pandas dispatch per GROUP (~40 ms measured) against
+    # sub-ms of kernel time for a typical postcode block, so per-block
+    # groups make dispatch the dominant stage cost at every scale.  The
+    # UDF sub-groups by __bk internally — identical pair set.
+    n_groups = _util.pack_group_count(s.sparkSession, npart, residue_rows)
+    s_salted, r_salted, keys = blocking.pack_groups(
+        s_salted, r_salted, "__bk", extra, n_groups
+    )
     s_salted = s_salted.repartition(npart, *[F.col(k) for k in keys])
     r_salted = r_salted.repartition(npart, *[F.col(k) for k in keys])
     cand = scoring.block_cross_score(
-        s_salted, r_salted, keys, cutoff=cfg.fuzzy_match_limit
+        s_salted, r_salted, keys, cutoff=cfg.fuzzy_match_limit,
+        block_col="__bk",
     )
 
     shortlist = select.keep_max_score(cand, "record_id")
@@ -356,6 +372,7 @@ def run_waterfall(
     store: CheckpointStore | None = None,
     sides_materialized: bool = False,
     ref_materialized: bool = False,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """O3/O4/O5: the full waterfall.  Returns one row per matched-or-
     attempted search record (best candidate + decisions + method).
@@ -363,8 +380,15 @@ def run_waterfall(
     ref_materialized=True: the ref sides are already durable — e.g.
     BUCKETED tables (sources/bucketing.ensure_bucketed_ref), whose scan
     carries a HashPartitioning that a store.write/localCheckpoint would
-    destroy (every per-pass ref dedup/histogram would shuffle again)."""
+    destroy (every per-pass ref dedup/histogram would shuffle again).
+
+    metrics: pass a dict to collect per-stage run counters — wall seconds,
+    residue rows, and matched counts per pass (the same counters a
+    store.write records durably; this is the in-process view for ops
+    dashboards and for profiling where waterfall time goes)."""
     cfg = cfg or MatchConfig()
+    _t = _time.perf_counter
+    _t0 = _t()
     # The four standing datasets are reused by every pass
     # (tools/matcher_funcs.py:752-772).  Materialise them AND cut their
     # lineage: the standardisation layer is hundreds of expressions, and
@@ -385,43 +409,76 @@ def run_waterfall(
         if not ref_materialized:
             ref_min = ref_min.localCheckpoint()
             ref_full = ref_full.localCheckpoint()
+    if metrics is not None:
+        metrics["sides_sec"] = round(_t() - _t0, 3)
     # broadcast decision measured once in BYTES, not row count (X11): the
     # ref side is dimension-like; broadcast only while the serialized table
     # fits an executor comfortably
+    _t1 = _t()
     if cfg.broadcast_ref is None:
         bc_ref = should_broadcast(ref_min, cfg.broadcast_max_bytes)
     else:
         bc_ref = cfg.broadcast_ref
+    if metrics is not None:
+        metrics["broadcast_measure_sec"] = round(_t() - _t1, 3)
+        metrics["broadcast_ref"] = bc_ref
+        metrics["passes"] = []
     # Block-keyed ref variants (filter/rename/dedup, prep_ref_for_block):
     # only FOUR distinct ones exist per run ((min|full) × (pc|street)) but
     # the 8-pass plan used to rebuild them per pass — 8 dedup shuffles of
-    # the full reference side.  Built lazily on first use (the early-exit
-    # gate may skip later passes) and MATERIALISED only when two passes
-    # will share one (8-pass mode) and the ref is not already a durable
-    # bucketed table (a checkpoint would destroy the bucketed scan's
-    # exchange-free HashPartitioning).
-    materialize_prep = cfg.run_field_passes and not ref_materialized
-    _prep_cache: dict[tuple[str, str], DataFrame] = {}
+    # the full reference side.  Shared across passes unless the ref is
+    # already a durable bucketed table (persisting would destroy the
+    # bucketed scan's exchange-free HashPartitioning).  With a store this
+    # is a real checkpoint (resumable); otherwise localCheckpoint: even
+    # WITHIN one pass the prep subtree is referenced three times (rh
+    # histogram, semi-join prefilter, salted ref side) and Catalyst
+    # recomputes shared subtrees — profiled at ~15 core-s of repeated
+    # dedup aggregation per pass at bench scale.  (An in-memory .cache()
+    # variant measured SLOWER end-to-end: columnar compress-on-write +
+    # decompress-per-read beats a local checkpoint scan only when the
+    # frame is read once, and these are read ~3× per pass.)
+    materialize_prep = not ref_materialized
+    _prep_futs: dict[tuple[str, str], "CFuture"] = {}
+    _prep_lock = _threading.Lock()
 
     def get_prep(level: str, blocker: str, rstd: DataFrame) -> DataFrame:
+        # called from concurrent pass threads AND the prefetcher below;
+        # a Future per (level, blocker) makes the materialisation
+        # once-only — the first arrival builds, the rest block on it
         k = (level, blocker)
-        if k not in _prep_cache:
-            v = prep_ref_for_block(rstd, blocker)
-            if materialize_prep:
-                v = (store.write(v, f"ref_prep_{level}_{blocker}")
-                     if store is not None else v.localCheckpoint())
-            _prep_cache[k] = v
-        return _prep_cache[k]
+        with _prep_lock:
+            fut = _prep_futs.get(k)
+            mine = fut is None
+            if mine:
+                fut = CFuture()
+                _prep_futs[k] = fut
+        if mine:
+            try:
+                tp = _t()
+                v = prep_ref_for_block(rstd, blocker)
+                if materialize_prep:
+                    v = (store.write(v, f"ref_prep_{level}_{blocker}")
+                         if store is not None else v.localCheckpoint())
+                if metrics is not None:
+                    metrics[f"prep_{level}_{blocker}_sec"] = round(
+                        _t() - tp, 3)
+                fut.set_result(v)
+            except BaseException as e:
+                fut.set_exception(e)
+                raise
+        return fut.result()
 
     passes: list[DataFrame] = []
 
     def run_pass(fn, name):
+        # NOTE: does not touch `passes` — paired levels run two of these
+        # from worker threads, and pass_priority (combine_passes) must
+        # follow PLAN order, so the caller appends results in unit order.
         out = fn()
         if store is not None:
             out = store.write(out.select(*RESULT_COLS), f"pass_{name}")
         else:
             out = out.select(*RESULT_COLS).localCheckpoint()
-        passes.append(out)
         return out
 
     plan = [
@@ -455,34 +512,115 @@ def run_waterfall(
             ("field_full_st", lambda s, n: field_pass(s, ref_full, "Street", cfg, "field_full_st", bc_ref, n, get_prep("full", "Street", ref_full)), search_full),
         ]
 
+    # Prefetch: the prep materialisations are residue-independent, so
+    # build them concurrently in the background while level 1 runs
+    # instead of serially on each level's critical path (~0.8 s each at
+    # bench scale).  Skipped for bucketed refs (prep stays a lazy plan —
+    # no job to prefetch) and in store mode (a resume should only find
+    # checkpoint stages the waterfall actually reached).  An early exit
+    # may waste a prefetched prep; a failed prefetch surfaces on first
+    # use (the Future re-raises) or never, if that pass was skipped.
+    # Only the LATER levels' preps prefetch — level 1 builds its own two
+    # in its pass threads, and prefetching those as well just makes all
+    # four compete for the same slots on level 1's critical path
+    # (measured: full-prefetch inflated each prep 1.0 s → 2.3 s and the
+    # 8-pass wall by ~2 s).
+    if materialize_prep and store is None:
+        prep_specs = [("full", "Postcode", ref_full),
+                      ("full", "Street", ref_full)]
+        _prefetch = ThreadPoolExecutor(max_workers=len(prep_specs),
+                                       thread_name_prefix="prep-prefetch")
+        for lv, bl, rstd in prep_specs:
+            _prefetch.submit(get_prep, lv, bl, rstd)
+        _prefetch.shutdown(wait=False)
+
+    # Level pairing: the two BLOCKERS of one standardisation level (pc +
+    # street) read the SAME residue, and combine_passes keeps the
+    # earliest pass's row per record — so running them CONCURRENTLY is
+    # output-identical to the strict sequential waterfall (a record both
+    # passes match keeps the pc pass's row via pass_priority; a record
+    # only the street pass matches gets the same row either way; the
+    # next level's residue is the same union of winners).  What changes
+    # is the schedule: the per-pass wall at bench scale is dominated by
+    # sequential stage latency (~6 exchanges × scheduler latency, NOT
+    # core-seconds — profiled in round 6), so halving the sequential
+    # depth nearly halves the waterfall wall.  The street pass does
+    # score records the pc pass will win (bounded extra compute: street
+    # blocks are the smaller fan-out; at bench scale ~2× the street
+    # pass's own pairs) — on a fully saturated cluster where wasted
+    # compute costs wall time, cfg.paired_blockers=False restores the
+    # strict residue-sequential schedule (same results, per-PASS
+    # early-exit granularity).
+    #
     # early-exit gate (X2, ref tools/matcher_funcs.py:1013-1017): the
-    # reference aborts the waterfall when nothing is left to match.
-    # Winners are DISJOINT across passes by construction — each pass only
-    # attempts the previous passes' residue — so the matched total is a
-    # running integer sum over the already-checkpointed pass outputs: no
-    # distinct, no extra per-pass checkpoint job, one cheap count scan.
-    # (Round 2 unioned+distinct+checkpointed a matched_ids frame per pass;
-    # that bookkeeping alone cost ~3 driver-blocking jobs × 6 passes and
-    # showed up as the r1→r2 er_waterfall bench regression.)
+    # reference aborts the waterfall when nothing is left to match;
+    # paired, the gate runs between LEVELS.  Pass winners within a level
+    # may overlap (both blockers can match the same record), so the
+    # matched total is a distinct count over the level's (tiny,
+    # checkpointed) winner ids — one cheap job per level.
+    units: list[list] = []
+    for entry in plan:
+        if (cfg.paired_blockers and units and len(units[-1]) == 1
+                and units[-1][0][2] is entry[2]
+                and units[-1][0][0].rsplit("_", 1)[0]
+                == entry[0].rsplit("_", 1)[0]):
+            units[-1].append(entry)
+        else:
+            units.append([entry])
+
     total_records = search_min.count()
     matched_union: DataFrame | None = None
     matched_count = 0
-    for name, fn, side in plan:
+    for unit in units:
         if passes and matched_count >= total_records:
             break  # every search record already has a full match
-        # (pass 1 always runs so an empty input still yields a result
+        # (level 1 always runs so an empty input still yields a result
         # frame with the full schema)
         residue_rows = total_records - matched_count
+        side = unit[0][2]
         residue = side if matched_union is None else side.join(
             matched_union, "record_id", "left_anti"
         )
-        out = run_pass(lambda s=residue, n=residue_rows: fn(s, n), name)
-        winners = out.filter(F.col("full_match")).select("record_id")
-        matched_count += winners.count()
+        tpass = _t()
+        if len(unit) == 1:
+            uname, ufn, _ = unit[0]
+            outs = [run_pass(lambda s=residue, n=residue_rows: ufn(s, n),
+                             uname)]
+        else:
+            with ThreadPoolExecutor(len(unit)) as ex:
+                futs = [
+                    ex.submit(
+                        run_pass,
+                        lambda s=residue, n=residue_rows, f=fn: f(s, n),
+                        name,
+                    )
+                    for name, fn, _ in unit
+                ]
+                outs = [f.result() for f in futs]
+        passes.extend(outs)
+        t_ckpt = _t()
+        winners = None
+        for out in outs:
+            w = out.filter(F.col("full_match")).select("record_id")
+            winners = w if winners is None else winners.unionByName(w)
+        won = winners.distinct().count() if len(outs) > 1 else winners.count()
+        matched_count += won
+        if metrics is not None:
+            metrics["passes"].append({
+                "pass": "+".join(name for name, _, _ in unit),
+                "residue_rows": int(residue_rows),
+                "matched": int(won),
+                "seconds": round(t_ckpt - tpass, 3),
+                "count_sec": round(_t() - t_ckpt, 3),
+            })
         matched_union = winners if matched_union is None else (
             matched_union.unionByName(winners)
         )
 
+    if metrics is not None:
+        metrics["total_records"] = int(total_records)
+        metrics["matched"] = int(matched_count)
+        metrics["waterfall_sec"] = round(_t() - _t0, 3)
     return select.combine_passes(passes, key="record_id")
 
 

@@ -181,8 +181,10 @@ def test_street_field_pass_rescues_broken_postcode(spark):
 
 def test_early_exit_after_full_pass1(spark, monkeypatch):
     """X2 early-exit gate (ref tools/matcher_funcs.py:1013-1017): a corpus
-    fully matched by pass 1 must run exactly ONE fuzzy pass and zero field
-    passes — the remaining five waterfall passes are skipped."""
+    fully matched by level 1 must run exactly ONE LEVEL (the pc + street
+    blockers run concurrently under paired_blockers) and zero field
+    passes — the remaining waterfall levels are skipped.  With
+    paired_blockers=False the gate is per-PASS: exactly one fuzzy pass."""
     rows = [
         ("12", "OAK ROAD", "LONDON", "SW9 7QD"),
         ("7", "ELM STREET", "CROYDON", "CR2 6XH"),
@@ -232,5 +234,11 @@ def test_early_exit_after_full_pass1(spark, monkeypatch):
     monkeypatch.setattr(P, "field_pass", counting_field)
 
     res = P.run_waterfall(smin, sfull, rmin, rfull, cfg).toPandas()
+    assert calls["fuzzy"] == 2 and calls["field"] == 0  # one LEVEL
+
+    # strict sequential schedule: per-PASS gate, one fuzzy pass only
+    calls["fuzzy"] = 0
+    cfg_seq = P.MatchConfig(paired_blockers=False)
+    res_seq = P.run_waterfall(smin, sfull, rmin, rfull, cfg_seq).toPandas()
     assert calls["fuzzy"] == 1 and calls["field"] == 0
     assert res["full_match"].all() and len(res) == 3
