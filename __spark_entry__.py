@@ -54,7 +54,11 @@ def entry(spark: SparkSession) -> DataFrame:
         F.col("ref_id").cast("string").alias("UPRN"),
     )
 
-    cfg = P.MatchConfig(run_field_passes=False)
+    # run_field_passes=True: the flagship executes ALL 8 passes (4 fuzzy +
+    # 4 field) so the driver's end-to-end smoke covers the fieldmatch
+    # cogroup and both lockstep kernel lanes too (VERDICT r5 'Next
+    # round' #1); at sf0.001 the field passes add ~seconds.
+    cfg = P.MatchConfig(run_field_passes=True)
     # keep the synthesized record_id as the stable key (no url re-hash here)
     search = P.prepare_search(search_raw, cfg)
     ref = P.prepare_reference(ref_raw)

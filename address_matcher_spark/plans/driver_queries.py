@@ -962,13 +962,13 @@ _register(
     """,
 )
 
-def _pipeline_decisions_q(spark, sf):
-    """D1-D7 + W1/W2 over a DETERMINISTIC pre-scored pair table: the score
-    is SQL-expressible (100 ⇔ standardised-string equality, else a seeded
-    71-90 value), so the waterfall's decision/selection/combine composition
-    — the REAL verify.add_decisions / select.keep_max_score / best_match /
-    combine_passes operators — gets a full rows+schema+hash oracle.  Only
-    the fuzzy kernel itself stays rows-only.  A 1-in-13 slice is made
+def _decisions_combined(spark, sf):
+    """Shared core of er_pipeline_decisions / er_pipeline_clusters: the
+    REAL keep_max_score → add_decisions → best_match → combine_passes
+    chain over a DETERMINISTIC pre-scored pair table (the score is
+    SQL-expressible: 100 ⇔ standardised-string equality, else a seeded
+    71-90 value), so the composition gets a full rows+schema+hash oracle.
+    Only the fuzzy kernel itself stays rows-only.  A 1-in-13 slice is made
     digit-free to exercise D2 (limit raised to 100) and D3 (street pass
     never matches digit-free).  Ref semantics tools/fuzzy_match.py:233-318,
     tools/matcher_funcs.py:1489-1523."""
@@ -1017,11 +1017,37 @@ def _pipeline_decisions_q(spark, sf):
 
     p1 = one_pass(pairs.filter(F.col("variant") <= 1), "Postcode", "pc")
     p2 = one_pass(pairs, "Street", "st")
-    combined = sel.combine_passes([p1, p2], key="record_id")
-    return combined.select(
+    return sel.combine_passes([p1, p2], key="record_id")
+
+
+def _pipeline_decisions_q(spark, sf):
+    """D1-D7 + W1/W2: see _decisions_combined."""
+    return _decisions_combined(spark, sf).select(
         "record_id", "ref_id", "fuzzy_score", "fuzzy_score_match",
         "full_number_match", "close_postcode_match", "full_match",
         "match_method",
+    )
+
+
+def _pipeline_clusters_q(spark, sf):
+    """W2/W3 + O5/O6 composition (VERDICT r5 'Next round' #5): the REAL
+    select.combine_passes → cluster.match_edges → connected_components →
+    cluster_records chain over the same deterministic pre-scored pair
+    table as er_pipeline_decisions — full rows+schema+hash oracle.
+    cluster_records' internal id is an xxhash64-of-node convention the
+    oracle can't reproduce, so the query canonicalises it to the min
+    record_id per component (a pure relabeling: one window over the
+    cluster id).  The real-fuzzy-waterfall → clusters composition stays
+    hash-pinned in tests/test_rows_only_golden.py."""
+    from address_matcher_spark.operators.cluster import cluster_records
+
+    clustered = cluster_records(_decisions_combined(spark, sf))
+    w = Window.partitionBy("cluster_id")
+    return clustered.select(
+        "record_id",
+        "ref_id",
+        F.min("record_id").over(w).alias("cluster_label"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
     )
 
 
@@ -1102,6 +1128,38 @@ _register("er_pipeline_decisions", _pipeline_decisions_q,
           _PIPELINE_DECISIONS_SQL)
 
 
+# transitive closure over the bipartite full_match graph (record ↔ ref):
+# the decisions CTE supplies the matched pairs, `reach` walks
+# record→ref→record→ref chains to a fixpoint, and each record's cluster
+# label is the min record id over every record sharing a reachable ref —
+# exactly connected_components' hash-to-min convention after the query's
+# canonical relabeling.  (combine_passes keeps one best ref per record,
+# so components are stars around refs; the recursive form stays correct
+# if that ever changes.)
+_PIPELINE_CLUSTERS_SQL = f"""
+    WITH RECURSIVE matched AS (
+      SELECT record_id, ref_id FROM ({_PIPELINE_DECISIONS_SQL}) d
+      WHERE d.full_match),
+    reach(record_id, ref_id) AS (
+      SELECT record_id, ref_id FROM matched
+      UNION
+      SELECT r.record_id, m2.ref_id
+      FROM reach r
+      JOIN matched m ON m.ref_id = r.ref_id
+      JOIN matched m2 ON m2.record_id = m.record_id),
+    lab AS (
+      SELECT r.record_id, min(m.record_id) AS cluster_label
+      FROM reach r JOIN matched m ON m.ref_id = r.ref_id
+      GROUP BY r.record_id)
+    SELECT m.record_id, m.ref_id, l.cluster_label,
+           count(*) OVER (PARTITION BY l.cluster_label) AS cluster_size
+    FROM matched m JOIN lab l USING (record_id)
+    """
+
+_register("er_pipeline_clusters", _pipeline_clusters_q,
+          _PIPELINE_CLUSTERS_SQL)
+
+
 # ---------- D. rows-only entries (not SQL-expressible) ---------------------
 
 
@@ -1124,16 +1182,6 @@ def _pipeline_rows_only(spark, sf):
     )
     return res.select("record_id", "ref_id", "fuzzy_score", "full_match",
                       "match_method")
-
-
-def _clusters_rows_only(spark, sf):
-    """Rows-only (composes the fuzzy waterfall); output hash-pinned in
-    tests/test_rows_only_golden.py, CC semantics oracle-green via
-    er_connected_components."""
-    from address_matcher_spark.operators.cluster import cluster_records
-
-    res = _pipeline_rows_only(spark, sf)
-    return cluster_records(res.withColumn("url", F.lit("")))
 
 
 def _ann_lsh_rows_only(spark, sf):
@@ -1194,7 +1242,6 @@ def _single_address_rows_only(spark, sf):
 
 
 _register("er_pipeline_fuzzy_waterfall", _pipeline_rows_only, None)
-_register("er_pipeline_clusters", _clusters_rows_only, None)
 _register("er_single_address_api", _single_address_rows_only, None)
 _register("ann_lsh_topk", _ann_lsh_rows_only, None)
 _register("dedup_simhash_buckets", _simhash_rows_only, None)
@@ -1761,6 +1808,38 @@ _register(
       SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node)
     SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node
     """,
+)
+
+
+def _dedup_incremental_q(spark, sf):
+    """Incremental corpus-refresh dedup (VERDICT r5 'Next round' #6):
+    documents are split deterministically into an OLD corpus (3/4) and a
+    NEW refresh batch (1/4); the old state (signature table + cluster
+    labels) is built once, then the new batch is labeled through
+    dedup.incremental_dedup_labels — exact-dup anti-join on content_hash,
+    LSH join new-vs-old + new-vs-new, connected components over the new
+    edges plus the old label contraction.  The output must equal the
+    ONE-SHOT clustering of all documents, so the oracle is verbatim
+    dedup_minhash_clusters' recursive-CTE closure."""
+    register_views(spark, sf)
+    from address_matcher_spark.operators.cluster import connected_components
+
+    docs = spark.table("documents")
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    old_sigs = dedup.minhash_signature_table(old)
+    old_labels = connected_components(
+        dedup.minhash_lsh_pairs(old).select(
+            F.col("a").alias("src"), F.col("b").alias("dst")
+        )
+    )
+    return dedup.incremental_dedup_labels(new, old_sigs, old_labels)
+
+
+_register(
+    "dedup_incremental",
+    _dedup_incremental_q,
+    ORACLES["dedup_minhash_clusters"],
 )
 
 

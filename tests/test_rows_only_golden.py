@@ -1,4 +1,4 @@
-"""Hash-pinned goldens for the 5 rows-only driver queries.
+"""Hash-pinned goldens for the rows-only driver queries.
 
 These queries have no DuckDB oracle (fuzzy kernel / numpy RNN forward /
 multimodal decode are not SQL-expressible), so the driver's correctness
@@ -26,8 +26,6 @@ SF_DIR = "/root/testdata/sf0.001"
 GOLDEN = {
     "er_pipeline_fuzzy_waterfall": (
         "91cd4958abb898a76a1a795a3cbf22dfebc374478cc5fabe6679509528725281", 184),
-    "er_pipeline_clusters": (
-        "0084fa3da7250b8dc67ca6a31857b1959dc3790f005a3964bd8e74171f03dbdf", 132),
     "er_single_address_api": (
         "b321eb70c46982eef58fc7cf604b4e257879bb8b4f8449787e00860d2544e894", 1),
     "nn_field_parse": (
@@ -79,6 +77,26 @@ def test_rows_only_output_pinned(spark, name):
     assert frame_hash(got) == want_hash, (
         f"{name}: output hash changed — if the change is a deliberate "
         "semantic fix, re-pin via the regen block in this file's docstring"
+    )
+
+
+def test_waterfall_clusters_composition_pinned(spark):
+    """The real fuzzy-waterfall → cluster_records composition, pinned at
+    the round-5 hash.  er_pipeline_clusters graduated to a full DuckDB
+    oracle in round 6 (decisions-style pre-scored pairs through the same
+    combine→edges→CC chain), so the driver no longer runs THIS
+    composition — the pin keeps the waterfall→clusters path regression-
+    guarded exactly as before."""
+    from pyspark.sql import functions as F
+
+    from address_matcher_spark.operators.cluster import cluster_records
+    from address_matcher_spark.plans.driver_queries import _pipeline_rows_only
+
+    res = _pipeline_rows_only(spark, SF_DIR)
+    got = cluster_records(res.withColumn("url", F.lit(""))).toPandas()
+    assert len(got) == 132
+    assert frame_hash(got) == (
+        "0084fa3da7250b8dc67ca6a31857b1959dc3790f005a3964bd8e74171f03dbdf"
     )
 
 
