@@ -276,3 +276,242 @@ def gopher_quality_filter(docs: DataFrame, text_col: str = "text",
         reason.isNull().alias("keep"),
         reason.alias("drop_reason"),
     )
+
+
+# Gopher repetition thresholds (Rae et al. 2021, §A1.1)
+REP_MAX_DUP_LINE_FRAC = 0.30
+REP_MAX_DUP_LINE_CHAR_FRAC = 0.20
+REP_MAX_TOP_NGRAM_CHAR_FRAC = {2: 0.20, 3: 0.18, 4: 0.16}
+REP_MAX_DUP_NGRAM_CHAR_FRAC = {5: 0.15, 10: 0.10}
+
+
+def _words_col(text: Column) -> Column:
+    return F.filter(
+        F.split(F.lower(text), r"\s+"), lambda w: F.length(w) > 0
+    )
+
+
+def _ngrams_col(words: Column, n: int) -> Column:
+    """Word n-grams as ' '-joined strings (empty array when the doc has
+    fewer than n words)."""
+
+    def gram(i: Column) -> Column:
+        parts = [F.element_at(words, i + F.lit(j + 1)) for j in range(n)]
+        return F.concat_ws(" ", *parts)
+
+    return F.when(
+        F.size(words) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(words) - n), gram),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _chars_of(arr: Column) -> Column:
+    """Σ length over a string array (codegen'd fold)."""
+    return F.aggregate(
+        F.transform(arr, F.length), F.lit(0), lambda a, x: a + x
+    )
+
+
+def _top_run(sorted_arr: Column) -> Column:
+    """(gram, count) of the most frequent element of a SORTED string
+    array; ties break to the lexicographically smallest (first seen in
+    sorted order wins under strict >).  One codegen'd fold — no shuffle,
+    no UDF."""
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"),
+        F.lit("").alias("best"), F.lit(0).alias("bestrun"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        closes = acc["run"] > acc["bestrun"]
+        return F.when(
+            x == acc["prev"],
+            F.struct(
+                acc["prev"].alias("prev"), (acc["run"] + 1).alias("run"),
+                acc["best"].alias("best"), acc["bestrun"].alias("bestrun"),
+            ),
+        ).otherwise(
+            F.struct(
+                x.alias("prev"), F.lit(1).alias("run"),
+                F.when(closes, acc["prev"]).otherwise(acc["best"]).alias("best"),
+                F.when(closes, acc["run"]).otherwise(acc["bestrun"]).alias("bestrun"),
+            )
+        )
+
+    def finish(acc: Column) -> Column:
+        closes = acc["run"] > acc["bestrun"]
+        return F.struct(
+            F.when(closes, acc["prev"]).otherwise(acc["best"]).alias("gram"),
+            F.when(closes, acc["run"]).otherwise(acc["bestrun"]).alias("cnt"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, finish)
+
+
+def repetition_filter(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Gopher repetition-signal filter (Rae et al. 2021 §A1.1): per-doc
+    duplicate-line fractions, top-{2,3,4}-gram char fractions and
+    duplicate-{5,10}-gram char fractions, with keep + first-failing-rule,
+    mirroring gopher_quality_filter's shape.
+
+    All signals are WITHIN-document, so the whole operator is ONE
+    codegen'd projection over the scan — no shuffle, no UDF; at 100 TB
+    it runs at scan speed.  Array folds do the per-doc accounting:
+
+    * dup_line_frac        (n_lines − n_distinct_lines) / n_lines over
+                           trimmed non-empty lines;
+    * dup_line_char_frac   chars of line occurrences BEYOND the first of
+                           each distinct line, / doc chars — computed as
+                           (Σ chars(all lines) − Σ chars(distinct lines));
+    * topN_char_frac       count(most frequent N-gram) · chars(gram) /
+                           doc chars, ties to the lexicographically
+                           smallest gram (grams are lowercased
+                           whitespace-split words ' '-joined, so the
+                           char counts include the N−1 separators);
+    * dupN_char_frac       chars of N-gram occurrences beyond the first,
+                           / doc chars (the classic implementable proxy
+                           for Gopher's span-union definition: overlap
+                           double-counting is accepted and documented,
+                           deterministic, and exactly SQL-expressible).
+
+    Thresholds are the published ones (REP_MAX_*).  Empty docs keep."""
+    t = F.col(text_col)
+    n_chars = F.greatest(F.length(t), F.lit(1)).cast("double")
+
+    # F.trim must be wrapped: it takes an optional second arg, so passing
+    # it bare makes transform() call it as a BINARY lambda trim(x, idx) —
+    # trimming the index digits instead of whitespace
+    lines = F.filter(
+        F.transform(F.split(t, r"\n"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(n_lines > 0,
+                           (n_lines - F.size(F.array_distinct(lines)))
+                           / n_lines.cast("double")).otherwise(F.lit(0.0))
+    dup_line_chars = _chars_of(lines) - _chars_of(F.array_distinct(lines))
+    dup_line_char_frac = dup_line_chars / n_chars
+
+    words = _words_col(t)
+    cols: dict[str, Column] = {
+        "dup_line_frac": dup_line_frac,
+        "dup_line_char_frac": dup_line_char_frac,
+    }
+    for n in (2, 3, 4):
+        top = _top_run(F.array_sort(_ngrams_col(words, n)))
+        # a gram occurring once is not repetition: without the cnt>=2 gate
+        # every short doc trips the rule (one of ~15 grams is >16% of a
+        # 60-char doc)
+        cols[f"top{n}_char_frac"] = F.when(
+            top["cnt"] >= 2,
+            (top["cnt"] * F.length(top["gram"])).cast("double") / n_chars,
+        ).otherwise(F.lit(0.0))
+    for n in (5, 10):
+        grams = _ngrams_col(words, n)
+        cols[f"dup{n}_char_frac"] = (
+            _chars_of(grams) - _chars_of(F.array_distinct(grams))
+        ).cast("double") / n_chars
+
+    reason = F.when(
+        cols["dup_line_frac"] > F.lit(REP_MAX_DUP_LINE_FRAC),
+        F.lit("dup_line_frac"))
+    reason = reason.when(
+        cols["dup_line_char_frac"] > F.lit(REP_MAX_DUP_LINE_CHAR_FRAC),
+        F.lit("dup_line_char_frac"))
+    for n, thr in REP_MAX_TOP_NGRAM_CHAR_FRAC.items():
+        reason = reason.when(cols[f"top{n}_char_frac"] > F.lit(thr),
+                             F.lit(f"top{n}_char_frac"))
+    for n, thr in REP_MAX_DUP_NGRAM_CHAR_FRAC.items():
+        reason = reason.when(cols[f"dup{n}_char_frac"] > F.lit(thr),
+                             F.lit(f"dup{n}_char_frac"))
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[c.alias(name) for name, c in cols.items()],
+        reason.isNull().alias("keep"),
+        reason.alias("drop_reason"),
+    )
+
+
+def contamination_check(docs: DataFrame, eval_df: DataFrame, n: int = 8,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        eval_text_col: str = "text") -> DataFrame:
+    """Benchmark-contamination scan (the PaLM/GPT-3 style n-gram overlap
+    test): for every corpus document, how many of its distinct word
+    n-grams appear anywhere in the evaluation set.
+
+    100 TB shape: the eval side is tiny by construction (benchmarks are
+    KBs-MBs) — its distinct grams are BROADCAST, the corpus side explodes
+    its grams and aggregates the semi-join hits back per doc: no shuffle
+    of corpus rows at all (explode + broadcast-join + partial agg).
+    Returns (doc_id, n_grams, n_overlap, overlap_frac, contaminated);
+    contaminated ⇔ any overlap, the standard decontamination rule."""
+    eval_grams = (
+        eval_df.select(
+            F.explode(_ngrams_col(_words_col(F.col(eval_text_col)), n))
+            .alias("gram")
+        )
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(_ngrams_col(_words_col(F.col(text_col)), n)))
+        .alias("gram"),
+    )
+    hits = doc_grams.join(F.broadcast(eval_grams.withColumn("hit", F.lit(1))),
+                          "gram", "left")
+    # count(hit) (non-null = joined) rather than sum: oracle dialects keep
+    # count() in BIGINT where sum(int) may widen (DuckDB → HUGEINT)
+    per_doc = hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count(F.col("hit")).alias("n_overlap"),
+    )
+    # docs too short for any n-gram never reach the explode — restore them
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) /
+             F.greatest(F.coalesce("n_grams", F.lit(0)), F.lit(1))
+             .cast("double")).alias("overlap_frac"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def _md5_u01(key: Column) -> Column:
+    """Deterministic uniform-ish [0,1) from the first 6 hex chars of
+    md5(key) — digit-by-digit positional arithmetic so the EXACT value is
+    reproducible in any SQL dialect with md5/substring/strpos (no
+    conv/from_hex needed)."""
+    h = F.md5(key)
+    val: Column = F.lit(0)
+    for i in range(1, 7):
+        d = F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1
+        val = val * 16 + d
+    return val.cast("double") / F.lit(float(16 ** 6))
+
+
+def domain_mix_sample(docs: DataFrame, weights: dict[str, float],
+                      stratum_col: str = "source",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Deterministic stratified corpus sampling — the domain-mixture step
+    of a training-data pipeline: keep each row iff u01(md5(id:stratum)) <
+    weight[stratum] (strata absent from `weights` drop).
+
+    Content-free hashing on (id, stratum) keeps the decision stable
+    across runs/partitionings and engines; one codegen'd projection +
+    filter, no shuffle, trivially pushdown-friendly at 100 TB."""
+    u = _md5_u01(F.concat_ws(":", F.col(id_col).cast("string"),
+                             F.col(stratum_col)))
+    w = F.lit(None).cast("double")
+    expr = None
+    for name, frac in sorted(weights.items()):
+        branch = (F.col(stratum_col) == name, F.lit(float(frac)))
+        expr = F.when(*branch) if expr is None else expr.when(*branch)
+    w = expr.otherwise(F.lit(0.0)) if expr is not None else F.lit(0.0)
+    return docs.withColumn("_u", u).filter(F.col("_u") < w).drop("_u")

@@ -1895,3 +1895,214 @@ _register(
         WHERE c.node <> c.cluster_id)
     """,
 )
+
+
+# ---------- N. corpus repetition / contamination / mixing -----------------
+#
+# The synthetic documents have no newlines and little long-range
+# repetition, so (as with pii_scrub / url_canonicalize) each query
+# augments its input DETERMINISTICALLY inside the query and mirrors the
+# augmentation verbatim in the oracle SQL.
+
+
+def _rep_aug_col():
+    """Newlines + duplicate lines + a repeated phrase, all from substrings
+    of the doc's own text so every repetition signal has variance."""
+    t = F.col("text")
+    return F.concat_ws(
+        "\n",
+        F.substring(t, 1, 60),
+        F.substring(t, 61, 60),
+        F.substring(t, 1, 60),
+        F.when(F.col("doc_id") % 3 == 0, F.substring(t, 1, 60))
+        .otherwise(F.substring(t, 121, 60)),
+        F.when(F.col("doc_id") % 5 == 0, F.repeat(F.substring(t, 1, 21), 4))
+        .otherwise(F.substring(t, 181, 60)),
+    )
+
+
+_REP_AUG_SQL = (
+    "SELECT doc_id, concat_ws(chr(10),"
+    " substr(text, 1, 60), substr(text, 61, 60), substr(text, 1, 60),"
+    " CASE WHEN doc_id % 3 = 0 THEN substr(text, 1, 60)"
+    "      ELSE substr(text, 121, 60) END,"
+    " CASE WHEN doc_id % 5 = 0 THEN repeat(substr(text, 1, 21), 4)"
+    "      ELSE substr(text, 181, 60) END) AS text"
+    " FROM documents"
+)
+
+_WORDS_SQL = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+
+
+def _grams_sql(n: int) -> str:
+    """DuckDB expression mirroring textstats._ngrams_col over a word list
+    column named w."""
+    joined = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(n))
+    return (
+        f"CASE WHEN len(w) >= {n}"
+        f" THEN list_transform(range(1, len(w) - {n - 2}), i -> {joined})"
+        f" ELSE [] END"
+    )
+
+
+_CHARS_SQL = "coalesce(list_aggregate(list_transform({0}, x -> length(x)), 'sum'), 0)"
+
+
+def _top_frac_cte(n: int) -> str:
+    """Per-doc (cnt·chars of the most frequent n-gram)/doc-chars, ties to
+    the lexicographically smallest gram — same convention as
+    textstats._top_run's strict-> walk over the sorted array."""
+    return f"""
+    g{n} AS (SELECT doc_id, n_chars, unnest({_grams_sql(n)}) AS gram FROM base),
+    c{n} AS (SELECT doc_id, n_chars, gram, count(*) AS cnt
+             FROM g{n} GROUP BY doc_id, n_chars, gram),
+    t{n} AS (SELECT doc_id,
+                    cnt * length(gram) / cast(n_chars AS double) AS frac,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY cnt DESC, gram ASC) AS rn
+             FROM c{n} WHERE cnt >= 2)"""
+
+
+_REPETITION_SQL = f"""
+    WITH aug AS ({_REP_AUG_SQL}),
+    base AS (
+      SELECT doc_id,
+             greatest(length(text), 1) AS n_chars,
+             list_filter(list_transform(string_split(text, chr(10)),
+                                        x -> trim(x)),
+                         x -> length(x) > 0) AS lines,
+             {_WORDS_SQL} AS w
+      FROM aug),
+    {_top_frac_cte(2).lstrip()},
+    {_top_frac_cte(3).lstrip()},
+    {_top_frac_cte(4).lstrip()},
+    lf AS (
+      SELECT doc_id,
+             CASE WHEN len(lines) > 0
+                  THEN (len(lines) - len(list_distinct(lines)))
+                       / cast(len(lines) AS double)
+                  ELSE 0.0 END AS dup_line_frac,
+             ({_CHARS_SQL.format('lines')}
+              - {_CHARS_SQL.format('list_distinct(lines)')})
+             / cast(n_chars AS double) AS dup_line_char_frac,
+             ({_CHARS_SQL.format(_grams_sql(5))}
+              - {_CHARS_SQL.format('list_distinct(' + _grams_sql(5) + ')')})
+             / cast(n_chars AS double) AS dup5_char_frac,
+             ({_CHARS_SQL.format(_grams_sql(10))}
+              - {_CHARS_SQL.format('list_distinct(' + _grams_sql(10) + ')')})
+             / cast(n_chars AS double) AS dup10_char_frac
+      FROM base),
+    j AS (
+      SELECT lf.doc_id, lf.dup_line_frac, lf.dup_line_char_frac,
+             coalesce(t2.frac, 0.0) AS top2_char_frac,
+             coalesce(t3.frac, 0.0) AS top3_char_frac,
+             coalesce(t4.frac, 0.0) AS top4_char_frac,
+             lf.dup5_char_frac, lf.dup10_char_frac
+      FROM lf
+      LEFT JOIN t2 ON t2.doc_id = lf.doc_id AND t2.rn = 1
+      LEFT JOIN t3 ON t3.doc_id = lf.doc_id AND t3.rn = 1
+      LEFT JOIN t4 ON t4.doc_id = lf.doc_id AND t4.rn = 1)
+    SELECT *,
+           (CASE
+              WHEN dup_line_frac > 0.30 THEN 'dup_line_frac'
+              WHEN dup_line_char_frac > 0.20 THEN 'dup_line_char_frac'
+              WHEN top2_char_frac > 0.20 THEN 'top2_char_frac'
+              WHEN top3_char_frac > 0.18 THEN 'top3_char_frac'
+              WHEN top4_char_frac > 0.16 THEN 'top4_char_frac'
+              WHEN dup5_char_frac > 0.15 THEN 'dup5_char_frac'
+              WHEN dup10_char_frac > 0.10 THEN 'dup10_char_frac'
+            END) IS NULL AS keep,
+           CASE
+              WHEN dup_line_frac > 0.30 THEN 'dup_line_frac'
+              WHEN dup_line_char_frac > 0.20 THEN 'dup_line_char_frac'
+              WHEN top2_char_frac > 0.20 THEN 'top2_char_frac'
+              WHEN top3_char_frac > 0.18 THEN 'top3_char_frac'
+              WHEN top4_char_frac > 0.16 THEN 'top4_char_frac'
+              WHEN dup5_char_frac > 0.15 THEN 'dup5_char_frac'
+              WHEN dup10_char_frac > 0.10 THEN 'dup10_char_frac'
+           END AS drop_reason
+    FROM j
+    """
+
+_register(
+    "gopher_repetition_filter",
+    lambda spark, sf: _q(spark, sf, lambda s: (
+        textstats.repetition_filter(
+            s.table("documents").select("doc_id", _rep_aug_col().alias("text"))
+        )
+    )),
+    _REPETITION_SQL,
+)
+
+
+_CONTAM_N = 5
+_CONTAM_EVAL_SQL = (
+    "SELECT substr(text, 1, 120) AS text FROM documents WHERE doc_id % 97 = 0"
+)
+
+_CONTAMINATION_SQL = f"""
+    WITH ev AS ({_CONTAM_EVAL_SQL}),
+    evw AS (SELECT {_WORDS_SQL} AS w FROM ev),
+    evg AS (SELECT DISTINCT gram FROM
+            (SELECT unnest({_grams_sql(_CONTAM_N)}) AS gram FROM evw)),
+    dw AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    dg AS (SELECT doc_id,
+                  unnest(list_distinct({_grams_sql(_CONTAM_N)})) AS gram
+           FROM dw),
+    agg AS (SELECT dg.doc_id, count(*) AS n_grams,
+                   count(evg.gram) AS n_overlap
+            FROM dg LEFT JOIN evg USING (gram)
+            GROUP BY dg.doc_id)
+    SELECT d.doc_id,
+           coalesce(agg.n_grams, 0) AS n_grams,
+           coalesce(agg.n_overlap, 0) AS n_overlap,
+           coalesce(agg.n_overlap, 0)
+             / cast(greatest(coalesce(agg.n_grams, 0), 1) AS double)
+             AS overlap_frac,
+           coalesce(agg.n_overlap, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """
+
+
+def _contamination_q(spark, sf):
+    register_views(spark, sf)
+    docs = spark.table("documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.substring("text", 1, 120).alias("text")
+    )
+    return textstats.contamination_check(docs, ev, n=_CONTAM_N)
+
+
+_register("contamination_ngram_overlap", _contamination_q,
+          _CONTAMINATION_SQL)
+
+
+_MIX_WEIGHTS = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25,
+                "src5": 0.1}
+
+
+def _u01_sql(key_sql: str) -> str:
+    """DuckDB expression mirroring textstats._md5_u01 digit by digit."""
+    expr = "0"
+    for i in range(1, 7):
+        expr = (f"({expr} * 16 + strpos('0123456789abcdef',"
+                f" substr(md5({key_sql}), {i}, 1)) - 1)")
+    return f"cast({expr} AS double) / 16777216.0"
+
+
+_MIX_SQL = (
+    "SELECT doc_id, source FROM documents WHERE "
+    + _u01_sql("cast(doc_id AS varchar) || ':' || source")
+    + " < CASE source "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_MIX_WEIGHTS.items()))
+    + " ELSE 0.0 END"
+)
+
+_register(
+    "domain_mix_sample",
+    lambda spark, sf: _q(spark, sf, lambda s: (
+        textstats.domain_mix_sample(s.table("documents"), _MIX_WEIGHTS)
+        .select("doc_id", "source")
+    )),
+    _MIX_SQL,
+)

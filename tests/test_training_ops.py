@@ -1243,3 +1243,75 @@ def test_avi_strf_skips_audio_stream():
                  st.unpack_from("<I", spliced, 4)[0] + len(audio_list))
     got = multimodal._avi_video_strf(bytes(spliced))
     assert got == (21, 10, 24, 0, b"")
+
+
+def test_repetition_filter_crafted_signals(spark):
+    rows = [
+        # 3 identical lines of 4 → dup_line_frac 2/3, first rule fires
+        (0, "alpha beta gamma delta\nalpha beta gamma delta\nalpha beta gamma delta"),
+        # one dominant 2-gram, unique lines: "spam ham" 10x of ~20 grams
+        (1, "spam ham " * 10 + "x0 x1 x2 x3 x4 x5 x6 x7 x8 x9"),
+        # varied text, no repetition → keeps
+        (2, "the quick brown fox jumps over one lazy dog near a very old barn"),
+        (3, ""),  # empty doc keeps (all signals 0)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {r["doc_id"]: r for r in textstats.repetition_filter(df).collect()}
+
+    assert got[0]["drop_reason"] == "dup_line_frac"
+    assert got[0]["dup_line_frac"] == pytest.approx(2 / 3)
+    # beyond-first chars of the dup line: 2 × 22 over 68 total chars
+    assert got[0]["dup_line_char_frac"] == pytest.approx(44 / 68)
+
+    assert not got[1]["keep"]
+    # "spam ham"/"ham spam" dominate: 10 and 9 of 29 2-grams, 8 chars each
+    n_chars = len(rows[1][1])
+    assert got[1]["top2_char_frac"] == pytest.approx(10 * 8 / n_chars)
+    assert got[1]["drop_reason"] in {"dup_line_char_frac", "top2_char_frac"}
+
+    assert got[2]["keep"] and got[2]["drop_reason"] is None
+    assert got[3]["keep"]
+    assert got[3]["top2_char_frac"] == 0.0
+
+
+def test_repetition_filter_tie_breaks_lexicographic(spark):
+    # "b b" and "a a" both occur twice; the smaller gram must win
+    df = spark.createDataFrame(
+        pd.DataFrame([(0, "b b b z a a a")], columns=["doc_id", "text"])
+    )
+    r = textstats.repetition_filter(df).collect()[0]
+    # grams: [b b, b b, b z, z a, a a, a a] → top = "a a" (cnt 2, 3 chars)
+    assert r["top2_char_frac"] == pytest.approx(2 * 3 / 13)
+
+
+def test_contamination_check_counts(spark):
+    docs = spark.createDataFrame(pd.DataFrame([
+        (0, "one two three four five six seven eight"),   # contains eval grams
+        (1, "alpha beta gamma delta epsilon zeta"),        # clean
+        (2, "too short"),                                  # no 5-grams
+    ], columns=["doc_id", "text"]))
+    ev = spark.createDataFrame(pd.DataFrame(
+        [("one two three four five six",)], columns=["text"]))
+    got = {r["doc_id"]: r
+           for r in textstats.contamination_check(docs, ev, n=5).collect()}
+    assert got[0]["contaminated"] and got[0]["n_overlap"] == 2  # 2 shared 5-grams
+    assert got[0]["n_grams"] == 4
+    assert not got[1]["contaminated"] and got[1]["n_overlap"] == 0
+    assert got[2]["n_grams"] == 0 and got[2]["overlap_frac"] == 0.0
+
+
+def test_domain_mix_sample_deterministic_and_stratified(spark):
+    rows = [(i, f"src{i % 4}") for i in range(400)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "source"]))
+    weights = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    a = sorted(r["doc_id"] for r in
+               textstats.domain_mix_sample(df, weights).collect())
+    b = sorted(r["doc_id"] for r in
+               textstats.domain_mix_sample(df, weights).collect())
+    assert a == b  # content-hash decision, not RNG
+    by_src = {s: [i for i in a if i % 4 == int(s[3:])]
+              for s in ("src0", "src1", "src2", "src3")}
+    assert len(by_src["src0"]) == 100          # weight 1.0 keeps all
+    assert 25 <= len(by_src["src1"]) <= 75     # ~half
+    assert by_src["src2"] == []                # weight 0 drops
+    assert by_src["src3"] == []                # unlisted stratum drops
