@@ -374,3 +374,75 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
     )
     return pairs
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    window: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document exact-substring duplication — the ExactSubstr dedup
+    family (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", arXiv:2107.06499) re-expressed as window hashing:
+    every length-`window` token window of every document is hashed, and a
+    window whose hash occurs in >= `min_docs` DISTINCT documents marks a
+    duplicated span.  (The paper's suffix array finds arbitrary-length
+    repeats; fixed-W windows find exactly the repeats of length >= W,
+    which is the deduplication signal — the suffix array is a single-node
+    structure with no distributed equivalent, the window hash is one
+    shuffle.)
+
+    Returns one row per document: total window count, the number of
+    windows lying on cross-document duplicated spans, and their fraction.
+
+    Scale shape: the explode is windows ∝ tokens (each token starts at
+    most one window); the hash groupBy partial-aggregates map-side, so
+    the shuffle carries one (hash, doc) row per DISTINCT window per doc;
+    the stats join back is a broadcast-able aggregate only when the
+    duplicated-hash set is small — here it is an equi-join on the window
+    hash, shuffle ∝ windows, never pairs.  Window strings themselves
+    never shuffle — only their md5.
+    """
+    toks = tokens(F.col(text_col))
+    idx = F.sequence(F.lit(1), F.size(toks) - (window - 1))
+    grams = F.transform(
+        idx, lambda i: F.md5(F.array_join(F.slice(toks, i, window), " "))
+    )
+    wins = F.when(F.size(toks) >= window, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    base = ensure_parallel(docs.select(F.col(id_col), wins.alias("__w")))
+    exploded = base.select(id_col, F.explode("__w").alias("wh"))
+    # per (doc, hash) multiplicity, then per-hash distinct-doc count
+    per_doc = exploded.groupBy(id_col, "wh").agg(F.count("*").alias("n"))
+    dup_hashes = (
+        per_doc.groupBy("wh")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("wh")
+    )
+    dup_per_doc = (
+        per_doc.join(dup_hashes, "wh")
+        .groupBy(id_col)
+        .agg(F.sum("n").alias("n_dup_windows"))
+    )
+    totals = base.select(
+        id_col, F.size("__w").alias("n_windows")
+    )
+    return (
+        totals.join(dup_per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_windows").cast("bigint").alias("n_windows"),
+            F.coalesce(F.col("n_dup_windows"), F.lit(0))
+            .cast("bigint").alias("n_dup_windows"),
+            F.when(
+                F.col("n_windows") > 0,
+                F.round(
+                    F.coalesce(F.col("n_dup_windows"), F.lit(0))
+                    / F.col("n_windows"), 6),
+            ).otherwise(F.lit(0.0)).alias("dup_frac"),
+        )
+    )

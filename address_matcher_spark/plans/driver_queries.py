@@ -2106,3 +2106,68 @@ _register(
     )),
     _MIX_SQL,
 )
+
+
+# ---------- exact-substring duplicate spans + sequence packing ------------
+
+from address_matcher_spark.operators import packing  # noqa: E402
+
+_DUP_SPAN_W = 8
+
+_register(
+    "dedup_duplicate_spans",
+    lambda spark, sf: _q(spark, sf, lambda s: (
+        dedup.duplicate_spans(s.table("documents"), window=_DUP_SPAN_W)
+    )),
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - {_DUP_SPAN_W - 1}, 0)),
+               i -> md5(array_to_string(
+                 list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), i, i + {_DUP_SPAN_W - 1}), ' '))
+             )) AS wh
+      FROM documents),
+    per_doc AS (SELECT doc_id, wh, count(*) AS n FROM w GROUP BY doc_id, wh),
+    dup AS (SELECT wh FROM per_doc GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+    tot AS (SELECT doc_id, count(*) AS n_windows FROM w GROUP BY doc_id),
+    dpd AS (SELECT doc_id, sum(n) AS n_dup FROM per_doc JOIN dup USING (wh) GROUP BY doc_id)
+    SELECT d.doc_id,
+           cast(coalesce(tot.n_windows, 0) AS bigint) AS n_windows,
+           cast(coalesce(dpd.n_dup, 0) AS bigint) AS n_dup_windows,
+           CASE WHEN coalesce(tot.n_windows, 0) > 0
+                THEN round(coalesce(dpd.n_dup, 0) / tot.n_windows, 6)
+                ELSE 0.0 END AS dup_frac
+    FROM documents d
+    LEFT JOIN tot ON tot.doc_id = d.doc_id
+    LEFT JOIN dpd ON dpd.doc_id = d.doc_id
+    """,
+)
+
+_PACK_CHUNK = 256
+_PACK_STREAMS = 8
+
+_register(
+    "sequence_pack_chunks",
+    lambda spark, sf: _q(spark, sf, lambda s: (
+        packing.pack_chunks(
+            s.table("documents"),
+            chunk_tokens=_PACK_CHUNK, n_streams=_PACK_STREAMS)
+    )),
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             cast(floor({{u01}} * {_PACK_STREAMS}) AS int) AS stream,
+             cast(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS bigint) AS n_tokens
+      FROM documents),
+    o AS (
+      SELECT doc_id, stream, n_tokens,
+             cast(coalesce(sum(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint) AS token_offset
+      FROM base)
+    SELECT doc_id, stream, n_tokens, token_offset,
+           cast(floor(token_offset / {_PACK_CHUNK}) AS bigint) AS start_chunk,
+           cast(floor((token_offset + greatest(n_tokens - 1, 0)) / {_PACK_CHUNK}) AS bigint) AS end_chunk
+    FROM o
+    """.replace("{u01}", _u01_sql("cast(doc_id AS varchar)")),
+)

@@ -4,6 +4,9 @@ queries; prints ONE JSON line.
   SPARK_GRAFT_SF_DIR   parquet dir for operator queries (default sf0.1)
   SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
   SPARK_GRAFT_BENCH_SEARCH / _REF   override ER bench corpus size
+  SPARK_GRAFT_HEADLINE_ONLY=1   time ONLY the block-score stage (the
+      candidate_pairs_per_sec numerator) — the scaling-run mode for
+      long-stage corpora where a full leg would take an hour
 
 Metrics (per BASELINE.md §C):
   * candidate_pairs_per_sec — the block-join + cross-score + shortlist
@@ -168,6 +171,8 @@ OPERATOR_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard",
+    "dedup_duplicate_spans",
+    "sequence_pack_chunks",
     "text_stats",
     "ann_cosine_topk",
 ]
@@ -230,12 +235,13 @@ def main() -> None:
     # scripts/tune_block_score.py already uses.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
     reps_cap = max(reps, int(os.environ.get("SPARK_GRAFT_REPS_CAP", "5")))
+    headline_only = os.environ.get("SPARK_GRAFT_HEADLINE_ONLY") == "1"
     block_times: list[float] = []
     wf_times: list[float] = []
     rep_idx: list[float] = []
     shortlisted = matched = 0
-    warm_block, warm_wf = run_block_score(spark, sides, cfg)[1], \
-        run_er_waterfall(spark, sides, cfg)[1]
+    warm_block = run_block_score(spark, sides, cfg)[1]
+    warm_wf = 0.0 if headline_only else run_er_waterfall(spark, sides, cfg)[1]
 
     def _spread(ts: list[float]) -> float:
         return (max(ts) - min(ts)) / min(ts) if ts else 0.0
@@ -246,20 +252,24 @@ def main() -> None:
     ):
         rep_idx.append(machine_index())
         shortlisted, t_score = run_block_score(spark, sides, cfg)
-        matched, t_wf = run_er_waterfall(spark, sides, cfg)
         block_times.append(t_score)
-        wf_times.append(t_wf)
+        if not headline_only:
+            matched, t_wf = run_er_waterfall(spark, sides, cfg)
+            wf_times.append(t_wf)
     t_score = min(block_times)
-    t_wf = min(wf_times)
+    t_wf = min(wf_times) if wf_times else 0.0
     queries: dict[str, float] = {
         "er_block_score": round(t_score, 3),
-        "er_waterfall": round(t_wf, 3),
     }
+    if not headline_only:
+        queries["er_waterfall"] = round(t_wf, 3)
     # field-pass timing runs AFTER the waterfall so the two headline
     # stages keep the exact r1/r2 measurement ordering (stage order
     # affects JIT/GC warm-up on this box); scaling_run skips it entirely
     # so its artifacts stay comparable across rounds
-    if os.environ.get("SPARK_GRAFT_SKIP_FIELD") != "1":
+    if headline_only:
+        pass  # scaling mode: the block stage is the whole measurement
+    elif os.environ.get("SPARK_GRAFT_SKIP_FIELD") != "1":
         # same min-of-reps treatment as the headline stages: these two
         # were single-shot through round 5 and swung 5.0-7.5s run-to-run
         # on pure machine noise (the stage order — field after the
@@ -273,10 +283,12 @@ def main() -> None:
             wf8_times.append(t_wf8)
         queries["er_field_pass"] = round(min(field_times), 3)
         queries["er_waterfall_full_8pass"] = round(min(wf8_times), 3)
-    for name in OPERATOR_QUERIES:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        queries[name] = round(time.perf_counter() - t0, 3)
+    if not headline_only:
+        for name in OPERATOR_QUERIES:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop") \
+                .mode("overwrite").save()
+            queries[name] = round(time.perf_counter() - t0, 3)
 
     def spread_pct(ts: list[float]) -> float:
         return round(100.0 * (max(ts) - min(ts)) / min(ts), 1) if ts else 0.0

@@ -1315,3 +1315,85 @@ def test_domain_mix_sample_deterministic_and_stratified(spark):
     assert 25 <= len(by_src["src1"]) <= 75     # ~half
     assert by_src["src2"] == []                # weight 0 drops
     assert by_src["src3"] == []                # unlisted stratum drops
+
+
+def test_duplicate_spans_planted(spark):
+    # docs 10/11 share an 8-token span verbatim; doc 12 shares nothing;
+    # doc 13 is shorter than the window (0 windows); doc 14 repeats the
+    # span TWICE so its dup-window multiplicity counts both occurrences
+    span = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = pd.DataFrame(
+        [
+            (10, f"prefix one {span} suffix one"),
+            (11, f"other head {span} other tail words"),
+            (12, "nothing in common with anything else at all here today"),
+            (13, "too short"),
+            (14, f"{span} middle filler {span}"),
+        ],
+        columns=["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(rows)
+    out = {
+        r["doc_id"]: r
+        for r in dedup.duplicate_spans(docs, window=8).collect()
+    }
+    assert len(out) == 5
+    assert out[13]["n_windows"] == 0 and out[13]["dup_frac"] == 0.0
+    assert out[12]["n_dup_windows"] == 0
+    # every window containing only span tokens is shared; at least the
+    # exact span window itself must be flagged in 10, 11 and (twice) 14
+    assert out[10]["n_dup_windows"] >= 1
+    assert out[11]["n_dup_windows"] >= 1
+    assert out[14]["n_dup_windows"] >= 2
+    assert 0.0 < out[10]["dup_frac"] <= 1.0
+    # windows are token-positional: doc 10 has len(tokens)-7 windows
+    assert out[10]["n_windows"] == len(rows.loc[0, "text"].split()) - 7
+
+
+def test_duplicate_spans_within_doc_repeat_not_cross(spark):
+    # a span repeated twice WITHIN one doc but present in no other doc is
+    # not a cross-document duplicate (min_docs=2 counts distinct docs)
+    span = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, f"{span} and then {span}"),
+             (1, "entirely different words that never repeat anything")],
+            columns=["doc_id", "text"],
+        )
+    )
+    out = {r["doc_id"]: r for r in dedup.duplicate_spans(docs, window=8).collect()}
+    assert out[0]["n_dup_windows"] == 0
+
+
+def test_pack_chunks_semantics(spark):
+    from address_matcher_spark.operators import packing
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, " ".join(f"tok{j}" for j in range(50))) for i in range(40)]
+            + [(99, "")],
+            columns=["doc_id", "text"],
+        )
+    )
+    out = packing.pack_chunks(docs, chunk_tokens=64, n_streams=4).toPandas()
+    assert len(out) == 41
+    assert set(out["stream"].unique()) <= set(range(4))
+    # within each stream, offsets are the exclusive prefix sums in id order
+    for _, g in out.sort_values("doc_id").groupby("stream"):
+        run = 0
+        for _, r in g.iterrows():
+            assert r["token_offset"] == run
+            run += r["n_tokens"]
+            assert r["start_chunk"] == r["token_offset"] // 64
+            last = r["token_offset"] + max(r["n_tokens"] - 1, 0)
+            assert r["end_chunk"] == last // 64
+    # the empty doc spans no chunk
+    empty = out[out["doc_id"] == 99].iloc[0]
+    assert empty["n_tokens"] == 0
+    assert empty["start_chunk"] == empty["end_chunk"]
+    # determinism: same input -> same assignment
+    again = packing.pack_chunks(docs, chunk_tokens=64, n_streams=4).toPandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        again.sort_values("doc_id").reset_index(drop=True),
+    )
