@@ -19,6 +19,7 @@ md5-prefix → bigint so the DuckDB oracle can reproduce values exactly.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as SqlWindow
 from pyspark.sql import functions as F
 
 from address_matcher_spark.operators._util import ensure_parallel
@@ -44,10 +45,21 @@ def token_hash(tok: Column) -> Column:
     return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("bigint")
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingle strings ([] for docs shorter than n
-    tokens — sequence(1, 0) would DESCEND, so guard explicitly)."""
-    toks = tokens(text)
+def token_hashes(text: Column) -> Column:
+    """Distinct-token hash array.  ALWAYS give this its own projection
+    (select(..., token_hashes(text).alias("__h")) and fan out from the
+    column) when the consumer references it more than once: Catalyst
+    re-inlines single-use aliases but keeps a multi-referenced non-cheap
+    alias materialised, and the tokenise+md5-per-token chain inlined k
+    times was measured 8× slower than the projected form (round 6)."""
+    return F.transform(F.array_distinct(tokens(text)), token_hash)
+
+
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingle strings from a token-array COLUMN
+    ([] for docs shorter than n tokens — sequence(1, 0) would DESCEND,
+    so guard explicitly).  Prefer this over shingles() whenever the
+    caller can project the token array first (see token_hashes note)."""
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     grams = F.transform(
         idx, lambda i: F.array_join(F.slice(toks, i, n), " ")
@@ -55,6 +67,12 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """shingles_from_tokens over an inline tokenisation — only for
+    single-reference consumers."""
+    return shingles_from_tokens(tokens(text), n)
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text",
@@ -92,9 +110,17 @@ def ngram_jaccard_pairs(
     the hot path.  Jaccard sizes (na/nb) always count ALL shingles, so
     reported similarities are exact for surviving pairs either way.
     """
-    sh = ensure_parallel(docs).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    # explode_outer + isNotNull, not explode — see duplicate_spans: the
+    # inferred size()>0 generate-filter would re-evaluate the shingle
+    # chain below the repartition on the scan's input split
+    sh = (
+        ensure_parallel(docs)
+        .select(F.col(id_col).alias("doc_id"),
+                tokens(F.col(text_col)).alias("__t"))
+        .select("doc_id",
+                F.explode_outer(shingles_from_tokens(F.col("__t"), n))
+                .alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -124,11 +150,11 @@ def ngram_jaccard_pairs(
     return out.select("a", "b", "jaccard")
 
 
-def minhash_signature_cols(text: Column, k: int = MINHASH_K) -> list[Column]:
-    """k min-hash values as separate columns (deterministic, oracle-portable):
-    mh_i = min over tokens of (a_i * H(tok) + b_i) mod p."""
-    toks = F.array_distinct(tokens(text))
-    hashes = F.transform(toks, token_hash)
+def minhash_signature_cols_from_hashes(
+    hashes: Column, k: int = MINHASH_K,
+) -> list[Column]:
+    """k min-hash values from a token-hash array COLUMN (see
+    token_hashes): mh_i = min over tokens of (a_i * H(tok) + b_i) mod p."""
     def _perm(a: int, b: int):
         # closure factory: F.transform inspects lambda arity, so the
         # parameters must not leak into the signature
@@ -138,6 +164,13 @@ def minhash_signature_cols(text: Column, k: int = MINHASH_K) -> list[Column]:
     for i, (a, b) in enumerate(_minhash_params(k)):
         out.append(F.array_min(F.transform(hashes, _perm(a, b))).alias(f"mh{i}"))
     return out
+
+
+def minhash_signature_cols(text: Column, k: int = MINHASH_K) -> list[Column]:
+    """k min-hash values over an inline tokenisation — only for callers
+    that cannot project token_hashes first (the inlined hash chain is
+    re-evaluated k times; the projected form is the hot path)."""
+    return minhash_signature_cols_from_hashes(token_hashes(text), k)
 
 
 def _band_rows(sig: DataFrame, k: int, bands: int) -> DataFrame:
@@ -171,9 +204,11 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing any full band of the signature.
     Shuffle cost is docs×bands rows, never the quadratic pair space."""
-    sig = ensure_parallel(docs).select(
-        F.col(id_col).alias("doc_id"),
-        *minhash_signature_cols(F.col(text_col), k),
+    sig = (
+        ensure_parallel(docs)
+        .select(F.col(id_col).alias("doc_id"),
+                token_hashes(F.col(text_col)).alias("__h"))
+        .select("doc_id", *minhash_signature_cols_from_hashes(F.col("__h"), k))
     )
     allb = _band_rows(sig, k, bands)
     left = allb.select(F.col("doc_id").alias("a"), "band", "band_sig")
@@ -196,10 +231,13 @@ def minhash_signature_table(
     — one projection over the batch, appended (never rewritten) on each
     corpus refresh.  content_hash feeds the exact-dup anti-join; the
     signature columns feed the LSH band join."""
-    return ensure_parallel(docs).select(
-        F.col(id_col).alias("doc_id"),
-        F.md5(F.col(text_col)).alias("content_hash"),
-        *minhash_signature_cols(F.col(text_col), k),
+    return (
+        ensure_parallel(docs)
+        .select(F.col(id_col).alias("doc_id"),
+                F.md5(F.col(text_col)).alias("content_hash"),
+                token_hashes(F.col(text_col)).alias("__h"))
+        .select("doc_id", "content_hash",
+                *minhash_signature_cols_from_hashes(F.col("__h"), k))
     )
 
 
@@ -301,11 +339,11 @@ def incremental_dedup_labels(
     return labels.unionByName(untouched)
 
 
-def simhash32(text: Column) -> Column:
-    """32-bit SimHash: per-bit majority over distinct-token hashes."""
-    toks = F.array_distinct(tokens(text))
-    hashes = F.transform(toks, token_hash)
-
+def simhash32_from_hashes(hashes: Column) -> Column:
+    """32-bit SimHash from a token-hash array COLUMN (see token_hashes):
+    per-bit majority over distinct-token hashes.  The hash array is
+    referenced 32× (once per bit) — inlining the tokenise+md5 chain here
+    re-evaluates it per bit, which is why the column form exists."""
     def _vote(bit: int):
         mask = 1 << bit
         return lambda h: F.when(
@@ -325,14 +363,23 @@ def simhash32(text: Column) -> Column:
     return out
 
 
+def simhash32(text: Column) -> Column:
+    """32-bit SimHash over an inline tokenisation — only for callers that
+    cannot project token_hashes first."""
+    return simhash32_from_hashes(token_hashes(text))
+
+
 def simhash_buckets(docs: DataFrame, prefix_bits: int = 8,
                     text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Docs grouped by SimHash high-bit prefix — the scale path for
     hamming-near-dup candidate generation."""
-    return ensure_parallel(docs).select(
-        F.col(id_col).alias("doc_id"),
-        simhash32(F.col(text_col)).alias("simhash"),
-    ).withColumn("bucket", F.shiftright(F.col("simhash"), 32 - prefix_bits))
+    return (
+        ensure_parallel(docs)
+        .select(F.col(id_col).alias("doc_id"),
+                token_hashes(F.col(text_col)).alias("__h"))
+        .select("doc_id", simhash32_from_hashes(F.col("__h")).alias("simhash"))
+        .withColumn("bucket", F.shiftright(F.col("simhash"), 32 - prefix_bits))
+    )
 
 
 def embedding_near_dup_pairs(
@@ -405,7 +452,10 @@ def duplicate_spans(
     hash, shuffle ∝ windows, never pairs.  Window strings themselves
     never shuffle — only their md5.
     """
-    toks = tokens(F.col(text_col))
+    # tokens get their own projection: the window expression references
+    # the array 3× (bound, slice, guard) and F.transform would otherwise
+    # re-run the tokeniser per WINDOW — measured 8× slower when inlined
+    toks = F.col("__t")
     idx = F.sequence(F.lit(1), F.size(toks) - (window - 1))
     grams = F.transform(
         idx, lambda i: F.md5(F.array_join(F.slice(toks, i, window), " "))
@@ -413,33 +463,50 @@ def duplicate_spans(
     wins = F.when(F.size(toks) >= window, grams).otherwise(
         F.array().cast("array<string>")
     )
-    base = ensure_parallel(docs.select(F.col(id_col), wins.alias("__w")))
-    exploded = base.select(id_col, F.explode("__w").alias("wh"))
-    # per (doc, hash) multiplicity, then per-hash distinct-doc count
-    per_doc = exploded.groupBy(id_col, "wh").agg(F.count("*").alias("n"))
-    dup_hashes = (
-        per_doc.groupBy("wh")
-        .agg(F.countDistinct(id_col).alias("nd"))
-        .filter(F.col("nd") >= min_docs)
-        .select("wh")
-    )
-    dup_per_doc = (
-        per_doc.join(dup_hashes, "wh")
+    base = ensure_parallel(
+        docs.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+    ).select(F.col(id_col), wins.alias("__w"))
+    # explode_outer + isNotNull, NOT explode: InferFiltersFromGenerate
+    # turns a plain explode into a `size(__w) > 0` pre-filter that
+    # predicate-pushdown carries below the repartition — re-evaluating
+    # the whole window chain on the raw text on the scan's (single)
+    # input split.  Measured 10× on the 5k-doc bench table (5.7 s →
+    # 0.5 s); explode_outer infers nothing and the null row filter runs
+    # post-Generate.
+    exploded = base.select(
+        id_col, F.explode_outer("__w").alias("wh")
+    ).filter(F.col("wh").isNotNull())
+    # Single-consumption shape: every downstream quantity derives from
+    # ONE aggregate chain.  Catalyst duplicates multi-consumer subtrees
+    # (no DAG sharing without materialisation), so the earlier
+    # totals/dup_hashes/dup_per_doc three-way fan-out re-evaluated the
+    # window transform in THREE scan branches — 3× the dominant cost.
+    # A count window over wh replaces the dup-hash self-join outright.
+    per_doc = exploded.groupBy(id_col, "wh").agg(F.count(F.lit(1)).alias("n"))
+    # per_doc is distinct on (doc, hash), so distinct-doc count per hash
+    # is a plain count(*) — as a window, partitioned like a groupBy(wh)
+    nd = F.count(F.lit(1)).over(SqlWindow.partitionBy("wh"))
+    stats = (
+        per_doc.withColumn("__nd", nd)
         .groupBy(id_col)
-        .agg(F.sum("n").alias("n_dup_windows"))
+        .agg(
+            F.sum("n").alias("n_windows"),
+            F.sum(F.when(F.col("__nd") >= min_docs, F.col("n"))
+                  .otherwise(F.lit(0))).alias("n_dup_windows"),
+        )
     )
-    totals = base.select(
-        id_col, F.size("__w").alias("n_windows")
-    )
+    # restore zero-window docs (shorter than the window): join from the
+    # plain id projection — cheap scan, no window expression on this side
     return (
-        totals.join(dup_per_doc, id_col, "left")
+        docs.select(id_col).join(stats, id_col, "left")
         .select(
             F.col(id_col),
-            F.col("n_windows").cast("bigint").alias("n_windows"),
+            F.coalesce(F.col("n_windows"), F.lit(0))
+            .cast("bigint").alias("n_windows"),
             F.coalesce(F.col("n_dup_windows"), F.lit(0))
             .cast("bigint").alias("n_dup_windows"),
             F.when(
-                F.col("n_windows") > 0,
+                F.coalesce(F.col("n_windows"), F.lit(0)) > 0,
                 F.round(
                     F.coalesce(F.col("n_dup_windows"), F.lit(0))
                     / F.col("n_windows"), 6),
