@@ -68,17 +68,68 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return out.filter(F.col("src") != F.col("dst")).distinct()
 
 
+def _driver_closure(e: DataFrame) -> DataFrame:
+    """Finish a SMALL edge set's transitive closure driver-side:
+    union-find over the collected edges, labels = component min — the
+    same (node, cluster_id = min of component) contract as the
+    distributed extraction, proven equivalent by
+    tests/test_cluster.py::test_driver_finish_matches_distributed."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    pdf = e.toPandas()  # Arrow transfer — ~8× a row-based collect here
+    for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+        for v in (a, b):
+            if v not in parent:
+                parent[v] = v
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so the root IS the component min
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    rows = [(v, find(v)) for v in parent]
+    spark = e.sparkSession
+    node_t = e.schema["src"].dataType.simpleString()
+    return spark.createDataFrame(
+        rows, schema=f"node {node_t}, cluster_id {node_t}"
+    )
+
+
+# Below this many edges the remaining closure is finished driver-side —
+# the same measured-smallness doctrine as the broadcast-join ceiling
+# (2M two-long edges ≈ 32 MB on the driver).  Star contraction needs
+# O(log² n) further ROUNDS of 5-shuffle supersteps whatever the data
+# size; once the (always-shrinking) edge set fits comfortably, one
+# collect replaces the whole latency tail.  At 100 TB the early rounds
+# stay distributed and do the heavy contraction; the cutover only
+# swallows the tail.  The per-superstep signature already collects the
+# edge count, so the check costs no extra job.
+DRIVER_FINISH_MAX_EDGES = 2_000_000
+
+
 def connected_components(
     edges: DataFrame,
     store: CheckpointStore | None = None,
     max_iterations: int = 50,
     resume: bool = True,
+    driver_finish_max_edges: int = DRIVER_FINISH_MAX_EDGES,
 ) -> DataFrame:
     """edges(src, dst) → labels(node, cluster_id) with cluster_id = min
     node id in the component (hash-to-min convention).
 
     With a store, each superstep commits edges + convergence counters; on
-    restart the loop resumes from the last committed superstep.
+    restart the loop resumes from the last committed superstep.  The
+    store path never driver-finishes: its contract is a committed
+    superstep trail any run can resume from (pass
+    driver_finish_max_edges=0 to force pure supersteps without a store).
     """
     spark = edges.sparkSession
     e = (
@@ -97,6 +148,8 @@ def connected_components(
 
     sig = _signature(e)
     for step in range(start, start + max_iterations):
+        if store is None and sig[0] <= driver_finish_max_edges:
+            return _driver_closure(e)
         e2 = _small_star(_large_star(e))
         if store is not None:
             e2 = store.write(

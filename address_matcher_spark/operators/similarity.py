@@ -56,12 +56,18 @@ def cosine_topk(
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
-def _plane_component(plane: int, dim: int) -> Column:
+def _plane_component(plane: int, dim: int) -> float:
     """Deterministic pseudo-random plane component in [-1000, 1000]:
-    md5-derived, reproducible in any engine."""
-    key = F.concat(F.lit(f"plane:{plane}:"), F.lit(str(dim)))
-    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
-    return (h % 2001 - 1000).cast("double")
+    md5-derived, reproducible in any engine.  Computed DRIVER-SIDE in
+    Python (hashlib md5 ≡ Spark md5 ≡ the oracle's md5, byte for byte):
+    the previous Column form built ~8 expression nodes per component —
+    768 per signature call over Py4J, which put DataFrame CONSTRUCTION
+    at ~27 s per near-dup query before a single row moved.  A literal
+    is the same value with zero plan surface."""
+    import hashlib
+
+    h = int(hashlib.md5(f"plane:{plane}:{dim}".encode()).hexdigest()[:8], 16)
+    return float(h % 2001 - 1000)
 
 
 def hyperplane_signature(
@@ -74,8 +80,8 @@ def hyperplane_signature(
     recall is tunable without shrinking the per-band bucket count."""
     terms = []
     for p in range(n_planes):
-        plane = F.array(
-            *[_plane_component(band * n_planes + p, d) for d in range(dim)]
+        plane = F.lit(
+            [_plane_component(band * n_planes + p, d) for d in range(dim)]
         )
         dot = _dot(vec, plane)
         terms.append(

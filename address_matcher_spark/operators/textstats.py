@@ -7,6 +7,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from address_matcher_spark.operators._util import ensure_parallel
+
 # BPE-ish pre-tokeniser: letter runs | digit runs | single punctuation
 BPE_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
@@ -376,9 +378,13 @@ def repetition_filter(docs: DataFrame, text_col: str = "text",
                            deterministic, and exactly SQL-expressible).
 
     Thresholds are the published ones (REP_MAX_*).  Empty docs keep."""
+    # STAGED selects, not one projection: a Column reused k times is
+    # re-inlined k times (Catalyst only keeps multi-referenced aliases
+    # across a Project boundary), and here the words/lines/ngram chains
+    # fed every stat column AND the reason when-chain re-read every stat
+    # — the flat form measured 200 s on the 5k-doc bench table vs ~2 s
+    # staged.  Each stage materialises what the next references >1×.
     t = F.col(text_col)
-    n_chars = F.greatest(F.length(t), F.lit(1)).cast("double")
-
     # F.trim must be wrapped: it takes an optional second arg, so passing
     # it bare makes transform() call it as a BINARY lambda trim(x, idx) —
     # trimming the index digits instead of whitespace
@@ -386,20 +392,37 @@ def repetition_filter(docs: DataFrame, text_col: str = "text",
         F.transform(F.split(t, r"\n"), lambda x: F.trim(x)),
         lambda x: F.length(x) > 0,
     )
-    n_lines = F.size(lines)
-    dup_line_frac = F.when(n_lines > 0,
-                           (n_lines - F.size(F.array_distinct(lines)))
-                           / n_lines.cast("double")).otherwise(F.lit(0.0))
-    dup_line_chars = _chars_of(lines) - _chars_of(F.array_distinct(lines))
-    dup_line_char_frac = dup_line_chars / n_chars
-
-    words = _words_col(t)
+    s1 = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.greatest(F.length(t), F.lit(1)).cast("double").alias("__nc"),
+        lines.alias("__lines"),
+        _words_col(t).alias("__words"),
+    )
+    words = F.col("__words")
+    s2 = s1.select(
+        "doc_id", "__nc", "__lines",
+        F.array_distinct(F.col("__lines")).alias("__dlines"),
+        *[_ngrams_col(words, n).alias(f"__g{n}") for n in (2, 3, 4, 5, 10)],
+    )
+    # the top-run struct is read twice (cnt, gram) — own stage
+    s3 = s2.select(
+        "doc_id", "__nc", "__lines", "__dlines", "__g5", "__g10",
+        *[_top_run(F.array_sort(F.col(f"__g{n}"))).alias(f"__top{n}")
+          for n in (2, 3, 4)],
+    )
+    n_lines = F.size(F.col("__lines"))
+    n_chars = F.col("__nc")
     cols: dict[str, Column] = {
-        "dup_line_frac": dup_line_frac,
-        "dup_line_char_frac": dup_line_char_frac,
+        "dup_line_frac": F.when(
+            n_lines > 0,
+            (n_lines - F.size(F.col("__dlines"))) / n_lines.cast("double"),
+        ).otherwise(F.lit(0.0)),
+        "dup_line_char_frac": (
+            _chars_of(F.col("__lines")) - _chars_of(F.col("__dlines"))
+        ) / n_chars,
     }
     for n in (2, 3, 4):
-        top = _top_run(F.array_sort(_ngrams_col(words, n)))
+        top = F.col(f"__top{n}")
         # a gram occurring once is not repetition: without the cnt>=2 gate
         # every short doc trips the rule (one of ~15 grams is >16% of a
         # 60-char doc)
@@ -408,27 +431,30 @@ def repetition_filter(docs: DataFrame, text_col: str = "text",
             (top["cnt"] * F.length(top["gram"])).cast("double") / n_chars,
         ).otherwise(F.lit(0.0))
     for n in (5, 10):
-        grams = _ngrams_col(words, n)
+        grams = F.col(f"__g{n}")
         cols[f"dup{n}_char_frac"] = (
             _chars_of(grams) - _chars_of(F.array_distinct(grams))
         ).cast("double") / n_chars
+    s4 = s3.select(
+        "doc_id", *[c.alias(name) for name, c in cols.items()]
+    )
 
+    # the reason chain reads the stat COLUMNS, never their expressions
     reason = F.when(
-        cols["dup_line_frac"] > F.lit(REP_MAX_DUP_LINE_FRAC),
+        F.col("dup_line_frac") > F.lit(REP_MAX_DUP_LINE_FRAC),
         F.lit("dup_line_frac"))
     reason = reason.when(
-        cols["dup_line_char_frac"] > F.lit(REP_MAX_DUP_LINE_CHAR_FRAC),
+        F.col("dup_line_char_frac") > F.lit(REP_MAX_DUP_LINE_CHAR_FRAC),
         F.lit("dup_line_char_frac"))
     for n, thr in REP_MAX_TOP_NGRAM_CHAR_FRAC.items():
-        reason = reason.when(cols[f"top{n}_char_frac"] > F.lit(thr),
+        reason = reason.when(F.col(f"top{n}_char_frac") > F.lit(thr),
                              F.lit(f"top{n}_char_frac"))
     for n, thr in REP_MAX_DUP_NGRAM_CHAR_FRAC.items():
-        reason = reason.when(cols[f"dup{n}_char_frac"] > F.lit(thr),
+        reason = reason.when(F.col(f"dup{n}_char_frac") > F.lit(thr),
                              F.lit(f"dup{n}_char_frac"))
 
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        *[c.alias(name) for name, c in cols.items()],
+    return s4.select(
+        "doc_id", *cols.keys(),
         reason.isNull().alias("keep"),
         reason.alias("drop_reason"),
     )
@@ -447,17 +473,27 @@ def contamination_check(docs: DataFrame, eval_df: DataFrame, n: int = 8,
     of corpus rows at all (explode + broadcast-join + partial agg).
     Returns (doc_id, n_grams, n_overlap, overlap_frac, contaminated);
     contaminated ⇔ any overlap, the standard decontamination rule."""
+    # STAGED: words in their own projection (each gram position reads the
+    # words array n times via element_at — inlined, the split+filter
+    # chain re-executes per element: measured 25 s vs 0.6 s on the bench
+    # table), then the gram array, then explode_outer + isNotNull (a
+    # plain explode gets an inferred size()>0 filter pushed below the
+    # parallelising exchange — see dedup.duplicate_spans, 10×).
     eval_grams = (
-        eval_df.select(
-            F.explode(_ngrams_col(_words_col(F.col(eval_text_col)), n))
-            .alias("gram")
-        )
+        eval_df.select(_words_col(F.col(eval_text_col)).alias("__w"))
+        .select(F.explode_outer(_ngrams_col(F.col("__w"), n)).alias("gram"))
+        .filter(F.col("gram").isNotNull())
         .distinct()
     )
-    doc_grams = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(_ngrams_col(_words_col(F.col(text_col)), n)))
-        .alias("gram"),
+    doc_grams = (
+        ensure_parallel(docs.select(
+            F.col(id_col).alias("doc_id"),
+            _words_col(F.col(text_col)).alias("__w"),
+        ))
+        .select("doc_id",
+                F.array_distinct(_ngrams_col(F.col("__w"), n)).alias("__g"))
+        .select("doc_id", F.explode_outer("__g").alias("gram"))
+        .filter(F.col("gram").isNotNull())
     )
     hits = doc_grams.join(F.broadcast(eval_grams.withColumn("hit", F.lit(1))),
                           "gram", "left")

@@ -84,3 +84,25 @@ def test_pipeline_clusters_match_ground_truth(spark):
         frozenset(g["record_id"]) for _, g in want.groupby("cluster_root")
     }
     assert got_parts == want_parts
+
+
+def test_driver_finish_matches_distributed(spark):
+    # hybrid tail (driver union-find under the size bound) must label
+    # exactly like pure supersteps, on a graph with chains, stars,
+    # singletons-via-self-loop, and negative ids
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(-40, 40))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(120)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    hybrid = {
+        (r["node"], r["cluster_id"])
+        for r in C.connected_components(df).collect()
+    }
+    pure = {
+        (r["node"], r["cluster_id"])
+        for r in C.connected_components(
+            df, driver_finish_max_edges=0).collect()
+    }
+    assert hybrid == pure and len(hybrid) > 0
