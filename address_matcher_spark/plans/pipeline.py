@@ -21,13 +21,14 @@ UDFs; everything else is codegen'd expressions and windows.
 
 from __future__ import annotations
 
+import logging as _logging
 import threading as _threading
 import time as _time
 from concurrent.futures import Future as CFuture
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from address_matcher_spark.functions import extract as X
@@ -474,12 +475,25 @@ def run_waterfall(
         # NOTE: does not touch `passes` — paired levels run two of these
         # from worker threads, and pass_priority (combine_passes) must
         # follow PLAN order, so the caller appends results in unit order.
+        #
+        # The pass's winner count rides the materialisation via observe()
+        # (CollectMetrics in the written plan) instead of a separate
+        # count job per level — the checkpoint/localCheckpoint action is
+        # the only driver-blocking job a pass runs (VERDICT r6 item #3).
         out = fn()
+        obs = Observation()
+        out = out.select(*RESULT_COLS).observe(
+            obs, F.count(F.when(F.col("full_match"), 1)).alias("won")
+        )
         if store is not None:
-            out = store.write(out.select(*RESULT_COLS), f"pass_{name}")
+            out = store.write(out, f"pass_{name}")
         else:
-            out = out.select(*RESULT_COLS).localCheckpoint()
-        return out
+            out = out.localCheckpoint()
+        # the materialisation above already executed the plan, so the
+        # metric is available; .get would block forever only if the
+        # action somehow skipped execution, which store.write/
+        # localCheckpoint never do
+        return out, int(obs.get["won"])
 
     plan = [
         ("fuzzy_min_pc", lambda s, n: fuzzy_pass(s, ref_min, "Postcode", cfg, "fuzzy_min_pc", bc_ref, n, get_prep("min", "Postcode", ref_min)), search_min),
@@ -525,14 +539,25 @@ def run_waterfall(
     # four compete for the same slots on level 1's critical path
     # (measured: full-prefetch inflated each prep 1.0 s → 2.3 s and the
     # 8-pass wall by ~2 s).
+    _prefetch = None
     if materialize_prep and store is None:
         prep_specs = [("full", "Postcode", ref_full),
                       ("full", "Street", ref_full)]
         _prefetch = ThreadPoolExecutor(max_workers=len(prep_specs),
                                        thread_name_prefix="prep-prefetch")
+
+        def _log_prefetch_failure(fut, _log=_logging.getLogger(__name__)):
+            # a failed prefetch whose pass the early-exit gate skips would
+            # otherwise vanish (the Future re-raises only on consumption);
+            # surface it in the log either way (ADVICE r6)
+            exc = None if fut.cancelled() else fut.exception()
+            if exc is not None:
+                _log.warning("ref-prep prefetch failed: %r", exc)
+
         for lv, bl, rstd in prep_specs:
-            _prefetch.submit(get_prep, lv, bl, rstd)
-        _prefetch.shutdown(wait=False)
+            _prefetch.submit(get_prep, lv, bl, rstd).add_done_callback(
+                _log_prefetch_failure
+            )
 
     # Level pairing: the two BLOCKERS of one standardisation level (pc +
     # street) read the SAME residue, and combine_passes keeps the
@@ -571,51 +596,74 @@ def run_waterfall(
     total_records = search_min.count()
     matched_union: DataFrame | None = None
     matched_count = 0
-    for unit in units:
-        if passes and matched_count >= total_records:
-            break  # every search record already has a full match
-        # (level 1 always runs so an empty input still yields a result
-        # frame with the full schema)
-        residue_rows = total_records - matched_count
-        side = unit[0][2]
-        residue = side if matched_union is None else side.join(
-            matched_union, "record_id", "left_anti"
-        )
-        tpass = _t()
-        if len(unit) == 1:
-            uname, ufn, _ = unit[0]
-            outs = [run_pass(lambda s=residue, n=residue_rows: ufn(s, n),
-                             uname)]
-        else:
-            with ThreadPoolExecutor(len(unit)) as ex:
-                futs = [
-                    ex.submit(
-                        run_pass,
-                        lambda s=residue, n=residue_rows, f=fn: f(s, n),
-                        name,
-                    )
-                    for name, fn, _ in unit
-                ]
-                outs = [f.result() for f in futs]
-        passes.extend(outs)
-        t_ckpt = _t()
-        winners = None
-        for out in outs:
-            w = out.filter(F.col("full_match")).select("record_id")
-            winners = w if winners is None else winners.unionByName(w)
-        won = winners.distinct().count() if len(outs) > 1 else winners.count()
-        matched_count += won
-        if metrics is not None:
-            metrics["passes"].append({
-                "pass": "+".join(name for name, _, _ in unit),
-                "residue_rows": int(residue_rows),
-                "matched": int(won),
-                "seconds": round(t_ckpt - tpass, 3),
-                "count_sec": round(_t() - t_ckpt, 3),
-            })
-        matched_union = winners if matched_union is None else (
-            matched_union.unionByName(winners)
-        )
+    try:
+        for unit in units:
+            if passes and matched_count >= total_records:
+                # matched_count is a SUM of observed per-pass winner
+                # counts — a paired level's two blockers can both match
+                # the same record, so it is an upper bound.  Confirm with
+                # one exact distinct count (over tiny checkpointed winner
+                # ids) before skipping real matching work; this fires at
+                # most once per run, only when the corpus looks done.
+                matched_count = matched_union.distinct().count()
+                if matched_count >= total_records:
+                    break  # every search record already has a full match
+            # (level 1 always runs so an empty input still yields a
+            # result frame with the full schema)
+            residue_rows = max(1, total_records - matched_count)
+            side = unit[0][2]
+            residue = side if matched_union is None else side.join(
+                matched_union, "record_id", "left_anti"
+            )
+            tpass = _t()
+            if len(unit) == 1:
+                uname, ufn, _ = unit[0]
+                outs = [run_pass(
+                    lambda s=residue, n=residue_rows: ufn(s, n), uname)]
+            else:
+                with ThreadPoolExecutor(len(unit)) as ex:
+                    futs = [
+                        ex.submit(
+                            run_pass,
+                            lambda s=residue, n=residue_rows, f=fn: f(s, n),
+                            name,
+                        )
+                        for name, fn, _ in unit
+                    ]
+                    outs = [f.result() for f in futs]
+            passes.extend(out for out, _ in outs)
+            # winner count folded into the checkpoint write via observe()
+            # (run_pass) — no separate count job per level.  Within a
+            # paired level the sum can double-count a record both
+            # blockers match; it only feeds the early-exit gate (which
+            # re-verifies exactly before firing) and the residue-size
+            # partitioning hints, where an under-estimate is harmless.
+            won = sum(w for _, w in outs)
+            matched_count += won
+            winners = None
+            for out, _ in outs:
+                w = out.filter(F.col("full_match")).select("record_id")
+                winners = w if winners is None else winners.unionByName(w)
+            if metrics is not None:
+                metrics["passes"].append({
+                    "pass": "+".join(name for name, _, _ in unit),
+                    "residue_rows": int(residue_rows),
+                    "matched": int(won),
+                    "matched_per_pass": [int(w) for _, w in outs],
+                    "seconds": round(_t() - tpass, 3),
+                })
+            matched_union = winners if matched_union is None else (
+                matched_union.unionByName(winners)
+            )
+    finally:
+        # join the prefetcher on every exit path (ADVICE r6): an early
+        # exit or a raise must not leave a prep thread running a Spark
+        # job against a session the caller may be tearing down, and a
+        # hung thread would otherwise block interpreter shutdown
+        # (cancel_futures drops queued-but-unstarted preps; running ones
+        # finish — they're ~1 s materialisations at bench scale)
+        if _prefetch is not None:
+            _prefetch.shutdown(wait=True, cancel_futures=True)
 
     if metrics is not None:
         metrics["total_records"] = int(total_records)

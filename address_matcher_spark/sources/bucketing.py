@@ -70,16 +70,37 @@ def _bucket_spec(df: DataFrame, key: str, n_buckets: int, sort: bool) -> dict:
 _BUCKET_ID_RE = re.compile(r"_(\d{5})\.c\d+")
 
 
-def _file_bucket_ids(spark: SparkSession, path: str) -> set[int]:
-    """Bucket ids parsed from the data filenames (Spark writes
-    part-...-<uuid>_<bucketid>.c000.parquet)."""
+def _file_bucket_ids(spark: SparkSession, path: str) -> dict[int, int]:
+    """Bucket-id → file count parsed from the data filenames (Spark
+    writes part-...-<uuid>_<bucketid>.c000.parquet; getName() is the
+    basename, so a path component can never shadow the id)."""
     fs, hpath, _ = _fs(spark, path)
-    ids: set[int] = set()
+    ids: dict[int, int] = {}
     for st in fs.listStatus(hpath):
         m = _BUCKET_ID_RE.search(st.getPath().getName())
         if m:
-            ids.add(int(m.group(1)))
+            b = int(m.group(1))
+            ids[b] = ids.get(b, 0) + 1
     return ids
+
+
+def _check_one_file_per_bucket(ids: dict[int, int], path: str,
+                               sort: bool) -> None:
+    """sort=True promises per-BUCKET key order, but the in-file
+    monotonicity probe only proves per-FILE order — with two files in
+    one bucket the bucket's global order is unproven, so refuse
+    (ADVICE r6).  Spark's own bucketed writer emits one file per
+    (bucket, write task attempt); multiple files mean hand-assembly."""
+    if not sort:
+        return
+    multi = {b: c for b, c in ids.items() if c > 1}
+    if multi:
+        raise ValueError(
+            f"bucketed table at {path} declares sort=True but buckets "
+            f"{sorted(multi)} have multiple data files each; per-bucket "
+            "sort order cannot be verified — rewrite the table or "
+            "declare sort=False"
+        )
 
 
 def write_bucketed(
@@ -156,9 +177,14 @@ def _verify_layout_by_scan(
             f"{max(ids)} >= declared bucket count {n_buckets}; refusing "
             "to migrate — rewrite the table"
         )
+    _check_one_file_per_bucket(ids, path, sort)
+    # bucket id parsed from the BASENAME only (ADVICE r6): a directory
+    # component that happens to match _(\d{5}).c\d+ anywhere in the full
+    # path must not shadow the filename's real bucket id
+    base = F.element_at(F.split(F.input_file_name(), "/"), -1)
     probe = disk.select(
         F.col(key).alias("__k"),
-        F.regexp_extract(F.input_file_name(), r"_(\d{5})\.c\d+", 1)
+        F.regexp_extract(base, r"_(\d{5})\.c\d+", 1)
         .cast("int").alias("__fid"),
         F.pmod(F.hash(F.col(key)), F.lit(n_buckets)).alias("__hid"),
         F.input_file_name().alias("__f"),
@@ -246,6 +272,7 @@ def _validate_bucket_layout(
             f"declared bucket count {n_buckets}; files do not match the "
             "sidecar — rewrite the table"
         )
+    _check_one_file_per_bucket(ids, path, sort)
 
 
 def ensure_bucketed_ref(

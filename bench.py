@@ -172,6 +172,7 @@ OPERATOR_QUERIES = [
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard",
     "dedup_duplicate_spans",
+    "dedup_incremental",
     "sequence_pack_chunks",
     "text_stats",
     "ann_cosine_topk",
@@ -267,16 +268,26 @@ def main() -> None:
     # stages keep the exact r1/r2 measurement ordering (stage order
     # affects JIT/GC warm-up on this box); scaling_run skips it entirely
     # so its artifacts stay comparable across rounds
+    field_times = []
+    wf8_times = []
+    warm_field = warm_wf8 = 0.0
     if headline_only:
         pass  # scaling mode: the block stage is the whole measurement
     elif os.environ.get("SPARK_GRAFT_SKIP_FIELD") != "1":
-        # same min-of-reps treatment as the headline stages: these two
-        # were single-shot through round 5 and swung 5.0-7.5s run-to-run
-        # on pure machine noise (the stage order — field after the
+        # full warm-discard + min-of-reps + spread-extension discipline,
+        # same as the two headline stages (round-7, VERDICT r6 item #5):
+        # these two were single-shot through round 5 and min-of-2 in
+        # round 6, and full-8pass still showed 74% spread on a choppy
+        # box — the first full-scale rep of each plan shape is a codegen
+        # /JIT warm-up and is discarded, then reps extend to the cap
+        # until spread < 15% (the stage order — field after the
         # waterfall, 8-pass after field — is preserved inside each rep)
-        field_times: list[float] = []
-        wf8_times: list[float] = []
-        for _ in range(min(reps, 2)):
+        warm_field = run_field_pass(spark, sides, cfg)[1]
+        warm_wf8 = run_er_waterfall_full(spark, sides)[1]
+        while len(field_times) < min(reps, 2) or (
+            len(field_times) < reps_cap
+            and (_spread(field_times) > 0.15 or _spread(wf8_times) > 0.15)
+        ):
             _, t_field = run_field_pass(spark, sides, cfg)
             _, t_wf8 = run_er_waterfall_full(spark, sides)
             field_times.append(t_field)
@@ -310,14 +321,20 @@ def main() -> None:
         "headline_reps": {
             "er_block_score": [round(t, 3) for t in block_times],
             "er_waterfall": [round(t, 3) for t in wf_times],
+            "er_field_pass": [round(t, 3) for t in field_times],
+            "er_waterfall_full_8pass": [round(t, 3) for t in wf8_times],
             "warm_rep_discarded": {
                 "er_block_score": round(warm_block, 3),
                 "er_waterfall": round(warm_wf, 3),
+                "er_field_pass": round(warm_field, 3),
+                "er_waterfall_full_8pass": round(warm_wf8, 3),
             },
             "machine_index_per_rep": rep_idx,
             "spread_pct": {
                 "er_block_score": spread_pct(block_times),
                 "er_waterfall": spread_pct(wf_times),
+                "er_field_pass": spread_pct(field_times),
+                "er_waterfall_full_8pass": spread_pct(wf8_times),
             },
         },
         "sf": round(sf, 4),
@@ -325,7 +342,9 @@ def main() -> None:
         "machine_index": idx,
         "er_candidate_pairs": pairs,
         "er_shortlisted": shortlisted,
-        "er_matched": matched,
+        # headline-only mode never runs the waterfall: report null, not a
+        # phantom 0-match regression (ADVICE r6)
+        "er_matched": None if headline_only else matched,
         "er_search_rows": n_search,
         "er_ref_rows": n_ref,
     }
