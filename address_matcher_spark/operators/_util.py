@@ -83,19 +83,29 @@ def scoring_npart(spark, residue_rows: int | None = None) -> int:
 
 
 def pack_group_count(spark, npart: int, side_rows: int | None = None,
-                     rows_cap: int = 100_000) -> int:
+                     rows_cap: int = 100_000,
+                     ref_rows: int | None = None) -> int:
     """Bucket count for blocking.pack_groups: enough buckets for the
     scheduler to balance (4 per scoring partition) but no more — every
     bucket is one Arrow/pandas UDF dispatch (~ms of fixed cost), which is
     exactly what packing exists to amortise.
 
-    Scale guard: applyInPandas materialises one GROUP at a time in the
-    Python worker, so a bucket must stay memory-bounded — when the caller
-    knows the (larger) side's row count, the count is raised so no bucket
-    expects more than ~rows_cap rows on average.  At bench scale this
-    never binds (45k rows / 128 buckets); at 100 TB it keeps worker
-    memory flat as npart stays pinned to cluster cores while data grows."""
+    Scale guard: the cogrouped applyInPandas materialises BOTH sides of
+    one group in the Python worker at once, so the count is raised until
+    neither side expects more than ~rows_cap rows per bucket on average —
+    sized from the MAX of the two sides, since the reference side is
+    usually the larger one (sizing from the search residue alone left
+    ref-side bucket memory unbounded).  The packed (unsalted-block)
+    component of a bucket carries ~side_total/n_groups rows from each
+    side, which is what this bounds; heavy blocks' salted cells land on
+    distinct (bucket, si, sj) keys and are independently bounded by the
+    grid-salting pair target (blocking.salt_for_cogroup_adaptive), so
+    replication inflates the salt axes, not the packed axis.  At bench
+    scale the guard never binds (45k rows / 128 buckets); at 100 TB it
+    keeps worker memory flat as npart stays pinned to cluster cores
+    while data grows."""
     g = npart * 4
-    if side_rows:
-        g = max(g, -(-int(side_rows) // rows_cap))
+    bound = max(int(side_rows or 0), int(ref_rows or 0))
+    if bound:
+        g = max(g, -(-bound // rows_cap))
     return g

@@ -70,42 +70,56 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 def _driver_closure(e: DataFrame) -> DataFrame:
     """Finish a SMALL edge set's transitive closure driver-side:
-    union-find over the collected edges, labels = component min — the
-    same (node, cluster_id = min of component) contract as the
-    distributed extraction, proven equivalent by
-    tests/test_cluster.py::test_driver_finish_matches_distributed."""
-    parent: dict = {}
+    vectorized min-label propagation over the collected edges, labels =
+    component min — the same (node, cluster_id = min of component)
+    contract as the distributed extraction, proven equivalent by
+    tests/test_cluster.py::test_driver_finish_matches_distributed.
 
-    def find(x):
-        r = x
-        while parent[r] != r:
-            r = parent[r]
-        while parent[x] != r:
-            parent[x], x = r, parent[x]
-        return r
+    Node ids are factorized to a dense [0, n) index space (np.unique is
+    sorted, so index order == value order and min-index hooking IS
+    min-value hooking), then Shiloach-Vishkin-style rounds: hook the
+    larger label to the smaller across every edge (np.minimum.at is
+    unbuffered, so duplicate targets are safe), fully compress with
+    label = label[label], repeat until every edge's endpoints agree —
+    O(m) numpy work × O(log n) rounds, no per-edge Python.  The earlier
+    dict-based union-find held ~n boxed ints and a GIL-bound loop — an
+    order of magnitude more driver heap and time than these int arrays."""
+    import numpy as np
+    import pandas as pd
 
     pdf = e.toPandas()  # Arrow transfer — ~8× a row-based collect here
-    for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
-        for v in (a, b):
-            if v not in parent:
-                parent[v] = v
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            # union by min so the root IS the component min
-            if rb < ra:
-                ra, rb = rb, ra
-            parent[rb] = ra
-    rows = [(v, find(v)) for v in parent]
+    nodes, codes = np.unique(
+        np.concatenate([pdf["src"].to_numpy(), pdf["dst"].to_numpy()]),
+        return_inverse=True,
+    )
+    m = len(pdf)
+    a, b = codes[:m], codes[m:]
+    label = np.arange(len(nodes), dtype=np.int64)
+    while m:
+        la, lb = label[a], label[b]
+        lo = np.minimum(la, lb)
+        np.minimum.at(label, np.maximum(la, lb), lo)
+        while True:
+            nxt = label[label]
+            if np.array_equal(nxt, label):
+                break
+            label = nxt
+        if np.array_equal(label[a], label[b]):
+            break
     spark = e.sparkSession
     node_t = e.schema["src"].dataType.simpleString()
+    out = pd.DataFrame({"node": nodes, "cluster_id": nodes[label]})
     return spark.createDataFrame(
-        rows, schema=f"node {node_t}, cluster_id {node_t}"
+        out, schema=f"node {node_t}, cluster_id {node_t}"
     )
 
 
 # Below this many edges the remaining closure is finished driver-side —
-# the same measured-smallness doctrine as the broadcast-join ceiling
-# (2M two-long edges ≈ 32 MB on the driver).  Star contraction needs
+# the same measured-smallness doctrine as the broadcast-join ceiling.
+# Honest sizing at the 2M-edge default: ≈32 MB of Arrow transfer plus a
+# transient ~150 MB of int64 numpy (codes 2m + label/nodes ≤2m each) —
+# driver-heap-bounded by design, NOT the dict of boxed ints the first
+# version held.  Star contraction needs
 # O(log² n) further ROUNDS of 5-shuffle supersteps whatever the data
 # size; once the (always-shrinking) edge set fits comfortably, one
 # collect replaces the whole latency tail.  At 100 TB the early rounds

@@ -277,6 +277,7 @@ def field_candidates(
     cfg,
     residue_rows: int | None = None,
     ref_prepped: DataFrame | None = None,
+    ref_rows: int | None = None,
 ) -> DataFrame:
     """Candidate stage of the field pass: block → per-block grid salting →
     cogrouped Arrow field score (field_cross_score) → global per-record
@@ -323,7 +324,8 @@ def field_candidates(
     # pack blocks into ~4·npart buckets: per-group Arrow/pandas dispatch
     # is the dominant fixed cost for small blocks (see
     # blocking.pack_groups); the UDF sub-groups by __bk internally
-    n_groups = _util.pack_group_count(s.sparkSession, npart, residue_rows)
+    n_groups = _util.pack_group_count(s.sparkSession, npart, residue_rows,
+                                      ref_rows=ref_rows)
     s_salted, r_salted, keys = blocking.pack_groups(
         s_salted, r_salted, "__bk", extra, n_groups
     )
@@ -342,6 +344,7 @@ def field_pass(
     broadcast_ref: bool | None = None,
     residue_rows: int | None = None,
     ref_prepped: DataFrame | None = None,
+    ref_rows: int | None = None,
 ) -> DataFrame:
     """J4 block → J5 per-field compare → P6 weighted sum → A2 max → D8 →
     D4-D7 verify → W5 best-per-record.  Output schema matches fuzzy_pass
@@ -362,7 +365,7 @@ def field_pass(
     if broadcast_ref is None:
         broadcast_ref = _util.should_broadcast(ref_std, cfg.broadcast_max_bytes)
     shortlist = field_candidates(search_std, ref_std, blocker, cfg,
-                                 residue_rows, ref_prepped)
+                                 residue_rows, ref_prepped, ref_rows)
     shortlist = shortlist.join(
         search_std.drop("street_key", "postcode_search"), "record_id"
     )

@@ -37,7 +37,7 @@ def _n_tokens(text: Column) -> Column:
 def pack_chunks(
     docs: DataFrame,
     chunk_tokens: int = 1024,
-    n_streams: int = 8,
+    n_streams: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -45,9 +45,19 @@ def pack_chunks(
     within the stream, and the [start_chunk, end_chunk] span it covers.
 
     start_chunk = floor(offset / chunk_tokens); a zero-token document
-    occupies no chunk span (end_chunk = start_chunk).  Deterministic:
-    stream = floor(md5-u01(id) · n_streams), order within stream = id.
+    occupies no chunk span (end_chunk = start_chunk).  Deterministic for
+    a GIVEN n_streams: stream = floor(md5-u01(id) · n_streams), order
+    within stream = id — so the output is a pure function of (input,
+    n_streams), independent of partitioning.  n_streams defaults to
+    max(8, defaultParallelism) so the window's hash partitioning scales
+    with the cluster (a fixed 8 would put a 1000-core cluster's whole
+    corpus on 8 window partitions); jobs that need a run-portable layout
+    pin it explicitly, which is what the driver oracle does.
     """
+    if n_streams is None:
+        n_streams = max(
+            8, docs.sparkSession.sparkContext.defaultParallelism
+        )
     stream = F.floor(
         _md5_u01(F.col(id_col).cast("string")) * n_streams
     ).cast("int")

@@ -211,10 +211,14 @@ def line_boilerplate_stats(docs: DataFrame, text_col: str = "text",
     documents each line occurs in, and report per document how many of
     its distinct lines are boilerplate (shared by >= min_docs docs).
 
-    100 TB shape: explode → distinct (line, doc) pairs → line-frequency
-    hash aggregation → equi-join back on the line — shuffle ∝ total
-    lines, never all-pairs.  On a real corpus join on xxhash64(line)
-    instead of the raw string to keep shuffle rows narrow."""
+    100 TB shape: explode → distinct (doc, line-hash) pairs →
+    hash-frequency aggregation → equi-join back on the hash — shuffle ∝
+    total lines, never all-pairs, and every exchange past the explode
+    carries an 8-byte xxhash64 key instead of the line text (the output
+    is per-doc counts, so the string is never needed downstream).
+    64-bit collisions (~n_lines²/2⁶⁵) would merge two distinct lines;
+    the DuckDB oracle deliberately keys on the exact strings, so the
+    driver compare doubles as a collision-free equivalence check."""
     lines = (
         docs.select(
             F.col(id_col).alias("doc_id"),
@@ -222,15 +226,16 @@ def line_boilerplate_stats(docs: DataFrame, text_col: str = "text",
         )
         .select("doc_id", F.trim(F.col("line")).alias("line"))
         .filter(F.length("line") > 0)
+        .select("doc_id", F.xxhash64("line").alias("line_h"))
         .distinct()
     )
     boiler = (
-        lines.groupBy("line").agg(F.count("*").alias("n_docs"))
+        lines.groupBy("line_h").agg(F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
-        .select("line", F.lit(1).alias("is_boiler"))
+        .select("line_h", F.lit(1).alias("is_boiler"))
     )
     return (
-        lines.join(boiler, "line", "left")
+        lines.join(boiler, "line_h", "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_lines"),

@@ -255,6 +255,7 @@ def fuzzy_pass(
     broadcast_ref: bool | None = None,
     residue_rows: int | None = None,
     ref_prepped: DataFrame | None = None,
+    ref_rows: int | None = None,
 ) -> DataFrame:
     """J1/J2 + P1 + J6 + D1-D7 + P2 + W1: block-join candidates, score with
     the vectorized token_set_ratio UDF, shortlist to per-record max, verify,
@@ -302,7 +303,8 @@ def fuzzy_pass(
     # sub-ms of kernel time for a typical postcode block, so per-block
     # groups make dispatch the dominant stage cost at every scale.  The
     # UDF sub-groups by __bk internally — identical pair set.
-    n_groups = _util.pack_group_count(s.sparkSession, npart, residue_rows)
+    n_groups = _util.pack_group_count(s.sparkSession, npart, residue_rows,
+                                      ref_rows=ref_rows)
     s_salted, r_salted, keys = blocking.pack_groups(
         s_salted, r_salted, "__bk", extra, n_groups
     )
@@ -440,6 +442,7 @@ def run_waterfall(
     # frame is read once, and these are read ~3× per pass.)
     materialize_prep = not ref_materialized
     _prep_futs: dict[tuple[str, str], "CFuture"] = {}
+    _prep_rows: dict[tuple[str, str], int] = {}
     _prep_lock = _threading.Lock()
 
     def get_prep(level: str, blocker: str, rstd: DataFrame) -> DataFrame:
@@ -458,8 +461,16 @@ def run_waterfall(
                 tp = _t()
                 v = prep_ref_for_block(rstd, blocker)
                 if materialize_prep:
+                    # the prep's row count rides the materialisation via
+                    # observe() (no extra job) — it sizes the pack-bucket
+                    # memory guard from the REF side too
+                    # (_util.pack_group_count), since the cogroup holds
+                    # both sides of a group in worker memory at once
+                    obs = Observation()
+                    v = v.observe(obs, F.count(F.lit(1)).alias("rows"))
                     v = (store.write(v, f"ref_prep_{level}_{blocker}")
                          if store is not None else v.localCheckpoint())
+                    _prep_rows[k] = int(obs.get["rows"])
                 if metrics is not None:
                     metrics[f"prep_{level}_{blocker}_sec"] = round(
                         _t() - tp, 3)
@@ -495,11 +506,17 @@ def run_waterfall(
         # localCheckpoint never do
         return out, int(obs.get["won"])
 
+    def prep_and_rows(level: str, blocker: str, rstd: DataFrame):
+        # (ref_prepped, ref_rows) for a pass lambda: the observed count
+        # is filled by the get_prep call, so evaluate it first
+        v = get_prep(level, blocker, rstd)
+        return v, _prep_rows.get((level, blocker))
+
     plan = [
-        ("fuzzy_min_pc", lambda s, n: fuzzy_pass(s, ref_min, "Postcode", cfg, "fuzzy_min_pc", bc_ref, n, get_prep("min", "Postcode", ref_min)), search_min),
-        ("fuzzy_min_st", lambda s, n: fuzzy_pass(s, ref_min, "Street", cfg, "fuzzy_min_st", bc_ref, n, get_prep("min", "Street", ref_min)), search_min),
-        ("fuzzy_full_pc", lambda s, n: fuzzy_pass(s, ref_full, "Postcode", cfg, "fuzzy_full_pc", bc_ref, n, get_prep("full", "Postcode", ref_full)), search_full),
-        ("fuzzy_full_st", lambda s, n: fuzzy_pass(s, ref_full, "Street", cfg, "fuzzy_full_st", bc_ref, n, get_prep("full", "Street", ref_full)), search_full),
+        ("fuzzy_min_pc", lambda s, n: fuzzy_pass(s, ref_min, "Postcode", cfg, "fuzzy_min_pc", bc_ref, n, *prep_and_rows("min", "Postcode", ref_min)), search_min),
+        ("fuzzy_min_st", lambda s, n: fuzzy_pass(s, ref_min, "Street", cfg, "fuzzy_min_st", bc_ref, n, *prep_and_rows("min", "Street", ref_min)), search_min),
+        ("fuzzy_full_pc", lambda s, n: fuzzy_pass(s, ref_full, "Postcode", cfg, "fuzzy_full_pc", bc_ref, n, *prep_and_rows("full", "Postcode", ref_full)), search_full),
+        ("fuzzy_full_st", lambda s, n: fuzzy_pass(s, ref_full, "Street", cfg, "fuzzy_full_st", bc_ref, n, *prep_and_rows("full", "Street", ref_full)), search_full),
     ]
     if cfg.run_field_passes:
         # The reference's NN stage runs a Postcode-blocked score_based_match
@@ -520,10 +537,10 @@ def run_waterfall(
         # passes force-broadcasting a possibly multi-GB ref side (VERDICT
         # r4 "What's wrong #1")
         plan += [
-            ("field_min_pc", lambda s, n: field_pass(s, ref_min, "Postcode", cfg, "field_min_pc", bc_ref, n, get_prep("min", "Postcode", ref_min)), search_min),
-            ("field_min_st", lambda s, n: field_pass(s, ref_min, "Street", cfg, "field_min_st", bc_ref, n, get_prep("min", "Street", ref_min)), search_min),
-            ("field_full_pc", lambda s, n: field_pass(s, ref_full, "Postcode", cfg, "field_full_pc", bc_ref, n, get_prep("full", "Postcode", ref_full)), search_full),
-            ("field_full_st", lambda s, n: field_pass(s, ref_full, "Street", cfg, "field_full_st", bc_ref, n, get_prep("full", "Street", ref_full)), search_full),
+            ("field_min_pc", lambda s, n: field_pass(s, ref_min, "Postcode", cfg, "field_min_pc", bc_ref, n, *prep_and_rows("min", "Postcode", ref_min)), search_min),
+            ("field_min_st", lambda s, n: field_pass(s, ref_min, "Street", cfg, "field_min_st", bc_ref, n, *prep_and_rows("min", "Street", ref_min)), search_min),
+            ("field_full_pc", lambda s, n: field_pass(s, ref_full, "Postcode", cfg, "field_full_pc", bc_ref, n, *prep_and_rows("full", "Postcode", ref_full)), search_full),
+            ("field_full_st", lambda s, n: field_pass(s, ref_full, "Street", cfg, "field_full_st", bc_ref, n, *prep_and_rows("full", "Street", ref_full)), search_full),
         ]
 
     # Prefetch: the prep materialisations are residue-independent, so
