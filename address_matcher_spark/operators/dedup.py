@@ -513,3 +513,82 @@ def duplicate_spans(
             ).otherwise(F.lit(0.0)).alias("dup_frac"),
         )
     )
+
+
+def duplicate_span_bounds(
+    docs: DataFrame,
+    window: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicated-SPAN extraction — the cutting half of ExactSubstr dedup
+    (Lee et al. 2022, arXiv:2107.06499 §4.1): where duplicate_spans
+    reports per-doc counts, this returns the actual token-offset bounds a
+    downstream pass needs to cut the spans out.
+
+    Every length-`window` token window occurring in >= `min_docs`
+    distinct documents marks tokens [off, off+window); overlapping or
+    touching marked windows within a document merge into maximal spans
+    (gaps-and-islands over the sorted offsets: a new span starts when an
+    offset exceeds the previous one by more than `window`).  Returns one
+    row per (document, span): 0-based `span_start`, exclusive `span_end`
+    in token units, and the number of duplicated windows merged into the
+    span.  Documents with no duplicated window yield no rows.
+
+    Scale shape: identical to duplicate_spans up to the per-(doc, hash)
+    aggregate — windows ∝ tokens, only md5s shuffle, the distinct-doc
+    count is a count window over already-distinct (doc, hash) rows, and
+    the token/window projection is consumed exactly ONCE (offsets ride
+    the aggregate as collect_list so no second scan branch re-evaluates
+    the window transform).  The islands pass shuffles only the
+    DUPLICATED offsets (dup_frac × windows rows), partitioned by doc.
+    """
+    toks = F.col("__t")
+    idx = F.sequence(F.lit(1), F.size(toks) - (window - 1))
+    grams = F.transform(
+        idx, lambda i: F.md5(F.array_join(F.slice(toks, i, window), " "))
+    )
+    wins = F.when(F.size(toks) >= window, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    base = ensure_parallel(
+        docs.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+    ).select(F.col(id_col), wins.alias("__w"))
+    # posexplode_outer, NOT posexplode — same InferFiltersFromGenerate
+    # trap as duplicate_spans (a plain generator grows a size()>0 filter
+    # that pushdown re-evaluates below the parallelising exchange)
+    exploded = base.select(
+        id_col, F.posexplode_outer("__w").alias("off", "wh")
+    ).filter(F.col("wh").isNotNull())
+    per_doc = exploded.groupBy(id_col, "wh").agg(
+        F.collect_list("off").alias("offs")
+    )
+    # per_doc is distinct on (doc, hash) → distinct-doc count per hash is
+    # a plain count window, partitioned like a groupBy(wh)
+    nd = F.count(F.lit(1)).over(SqlWindow.partitionBy("wh"))
+    dup_offs = (
+        per_doc.withColumn("__nd", nd)
+        .filter(F.col("__nd") >= min_docs)
+        .select(id_col, F.explode("offs").alias("off"))
+    )
+    w_doc = SqlWindow.partitionBy(id_col).orderBy("off")
+    brk = F.when(
+        F.col("off") > F.lag("off").over(w_doc) + window, F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        dup_offs.withColumn("__brk", brk)
+        .withColumn(
+            "__island",
+            F.sum("__brk").over(
+                w_doc.rowsBetween(SqlWindow.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy(id_col, "__island")
+        .agg(
+            F.min("off").cast("bigint").alias("span_start"),
+            (F.max("off") + window).cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_span_windows"),
+        )
+        .select(id_col, "span_start", "span_end", "n_span_windows")
+    )

@@ -2144,6 +2144,49 @@ _register(
     """,
 )
 
+# Span BOUNDS (the cutting half of ExactSubstr): same window hashes, but
+# the output is per-(doc, merged span) token offsets.  unnest over two
+# parallel lists zips them, giving (off, wh) pairs; islands via the
+# standard lag + running-sum window.
+_register(
+    "dedup_duplicate_span_bounds",
+    lambda spark, sf: _q(spark, sf, lambda s: (
+        dedup.duplicate_span_bounds(s.table("documents"),
+                                    window=_DUP_SPAN_W)
+    )),
+    f"""
+    WITH tk AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents),
+    w AS (
+      SELECT doc_id,
+             unnest(generate_series(1, greatest(len(t) - {_DUP_SPAN_W - 1}, 0))) - 1 AS off,
+             unnest(list_transform(
+               generate_series(1, greatest(len(t) - {_DUP_SPAN_W - 1}, 0)),
+               i -> md5(array_to_string(
+                 list_slice(t, i, i + {_DUP_SPAN_W - 1}), ' ')))) AS wh
+      FROM tk),
+    dup AS (SELECT wh FROM w GROUP BY wh
+            HAVING count(DISTINCT doc_id) >= 2),
+    do_ AS (SELECT w.doc_id, w.off FROM w JOIN dup USING (wh)),
+    brk AS (
+      SELECT doc_id, off,
+             CASE WHEN off > lag(off) OVER (PARTITION BY doc_id ORDER BY off)
+                           + {_DUP_SPAN_W} THEN 1 ELSE 0 END AS b
+      FROM do_),
+    isl AS (
+      SELECT doc_id, off,
+             sum(b) OVER (PARTITION BY doc_id ORDER BY off
+                          ROWS UNBOUNDED PRECEDING) AS g
+      FROM brk)
+    SELECT doc_id,
+           cast(min(off) AS bigint) AS span_start,
+           cast(max(off) + {_DUP_SPAN_W} AS bigint) AS span_end,
+           cast(count(*) AS bigint) AS n_span_windows
+    FROM isl GROUP BY doc_id, g
+    """,
+)
+
 _PACK_CHUNK = 256
 _PACK_STREAMS = 8
 

@@ -172,6 +172,7 @@ OPERATOR_QUERIES = [
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard",
     "dedup_duplicate_spans",
+    "dedup_duplicate_span_bounds",
     "dedup_incremental",
     "sequence_pack_chunks",
     "text_stats",

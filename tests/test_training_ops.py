@@ -1428,3 +1428,38 @@ def test_pack_chunks_default_streams_derive_from_session(spark):
         a.sort_values("doc_id").reset_index(drop=True),
         b.sort_values("doc_id").reset_index(drop=True),
     )
+
+
+def test_duplicate_span_bounds_merging(spark):
+    """Overlapping/touching duplicated windows merge into one maximal
+    span; disjoint duplicated regions yield separate spans; text repeated
+    only WITHIN one document marks nothing (cross-doc definition)."""
+    from address_matcher_spark.operators import dedup
+
+    shared = " ".join(f"s{i}" for i in range(12))      # 12 shared tokens
+    shared2 = " ".join(f"z{i}" for i in range(8))      # exactly one window
+    intra = " ".join(f"q{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                # doc 0: shared run at offset 3, second shared run later
+                (0, "a b c " + shared + " x y " + shared2),
+                # doc 1: same runs at different offsets
+                (1, shared + " mid " + shared2),
+                # doc 2: repeats its own 8 tokens twice — no cross-doc dup
+                (2, intra + " " + intra),
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    out = dedup.duplicate_span_bounds(docs, window=8).toPandas()
+    by_doc = {k: g.sort_values("span_start").values.tolist()
+              for k, g in out.groupby("doc_id")}
+    # doc 2 never appears
+    assert 2 not in by_doc
+    # doc 0: 12-token shared run starting at token 3 → windows at 3..7
+    # merge into span [3, 15); shared2 run of exactly 8 tokens at
+    # 3+12+2=17 → span [17, 25)
+    assert by_doc[0] == [[0, 3, 15, 5], [0, 17, 25, 1]]
+    # doc 1: spans [0, 12) and [13, 21)
+    assert by_doc[1] == [[1, 0, 12, 5], [1, 13, 21, 1]]
