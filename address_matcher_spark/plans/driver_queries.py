@@ -1827,12 +1827,17 @@ def _dedup_incremental_q(spark, sf):
     docs = spark.table("documents")
     old = docs.filter(F.col("doc_id") % 4 != 0)
     new = docs.filter(F.col("doc_id") % 4 == 0)
-    old_sigs = dedup.minhash_signature_table(old)
+    # In the real refresh shape old_sigs/old_labels are DURABLE tables a
+    # prior run wrote; materialise the stand-ins so the query measures the
+    # refresh itself, not a re-derivation of persisted state per consumer
+    # (both frames have multiple consumers inside incremental_dedup_labels,
+    # and Catalyst re-evaluates shared subtrees)
+    old_sigs = dedup.minhash_signature_table(old).localCheckpoint()
     old_labels = connected_components(
         dedup.minhash_lsh_pairs(old).select(
             F.col("a").alias("src"), F.col("b").alias("dst")
         )
-    )
+    ).localCheckpoint()
     return dedup.incremental_dedup_labels(new, old_sigs, old_labels)
 
 
