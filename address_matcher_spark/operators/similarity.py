@@ -236,3 +236,160 @@ def knn_join_lsh(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the data-dependent complement to hyperplane LSH
+# ---------------------------------------------------------------------------
+
+
+def _ivf_centroids(corpus: DataFrame, n_cells: int,
+                   id_col: str, vec_col: str):
+    """Deterministic IVF-flat centroids: the `n_cells` corpus vectors
+    with the smallest md5-u01(id) (dialect-portable uniform — the same
+    keyed hash the domain-mix sampler uses), L2-normalised into a numpy
+    (n_cells, dim) matrix.  Sampling centroids from the data distribution
+    is the k-means|| init step; refining them with Lloyd iterations would
+    balance cells better but adds nothing to the plan shape, so this
+    keeps the index one-pass and fully reproducible in any engine.
+    Driver cost: ONE TakeOrdered of n_cells rows."""
+    import numpy as np
+
+    from address_matcher_spark.operators.textstats import _md5_u01
+
+    rows = (
+        corpus.select(
+            F.col(vec_col).alias("v"),
+            _md5_u01(F.col(id_col).cast("string")).alias("__u"),
+            F.col(id_col).alias("__id"),
+        )
+        .orderBy("__u", "__id")
+        .limit(n_cells)
+        .collect()
+    )
+    m = np.array([list(r["v"]) for r in rows], dtype=np.float64)
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+
+
+def _cell_scores(vecs, mn):
+    """Rounded cosine of each vector against every centroid — 6-dp
+    rounding BEFORE any argmax/rank makes the engine-vs-oracle float
+    summation-order difference (numpy pairwise vs SQL sequential)
+    immaterial to cell choice."""
+    import numpy as np
+
+    x = np.array(vecs, dtype=np.float64)
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
+    return np.round(xn @ mn.T, 6)
+
+
+def _assign_udf(mn):
+    """Arrow-batched nearest-centroid assignment (ties → smallest cell
+    index, which np.argmax's first-max rule gives for free).  A pandas
+    UDF, not an expression tree: n_cells dot products per row as Column
+    exprs would repeat the hyperplane Py4J construction blowup this
+    module already fixed once (see _plane_component)."""
+    import pandas as pd
+
+    @F.pandas_udf("int")
+    def assign(vs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        s = _cell_scores(vs.tolist(), mn)
+        return pd.Series(np.argmax(s, axis=1).astype("int32"))
+
+    return assign
+
+
+def _probe_udf(mn, nprobe: int):
+    """Arrow-batched top-`nprobe` cells per query vector (score desc,
+    cell index asc via stable argsort)."""
+    import pandas as pd
+
+    @F.pandas_udf("array<int>")
+    def probe(vs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        s = _cell_scores(vs.tolist(), mn)
+        order = np.argsort(-s, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return probe
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: corpus rows are assigned to their
+    nearest sampled centroid's cell; only the query's `nprobe` nearest
+    cells are scanned for exact cosine ranking.
+
+    100 TB shape: `cell` is the table's natural cluster/partition key —
+    written once at index-build time, queries prune to nprobe partitions
+    at scan time, so per-query work is ~nprobe/n_cells of the corpus.
+    Versus hyperplane LSH: cells follow the DATA distribution (sampled
+    from it) rather than fixed random planes, so occupancy is even when
+    the corpus is clustered — the case where fixed planes leave most
+    buckets empty and a few overfull.  Recall is tuned by nprobe at
+    linear cost.  The probe choice is driver-side numpy here (one
+    literal query); the joined form is ivf_knn_join."""
+    import numpy as np
+
+    mn = _ivf_centroids(embeddings, n_cells, id_col, vec_col)
+    qs = _cell_scores([query_vec], mn)[0]
+    probed = [int(c) for c in np.argsort(-qs, kind="stable")[:nprobe]]
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    cand = embeddings.withColumn(
+        "cell", _assign_udf(mn)(F.col(vec_col))
+    ).filter(F.col("cell").isin(probed))
+    scored = cand.select(
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), q), 4).alias("cosine"),
+        "cell",
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def ivf_knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus×corpus approximate k-NN join through the IVF index:
+    centroids are sampled from the RIGHT (corpus) side, every corpus row
+    lands in exactly ONE cell, every left row probes its `nprobe`
+    nearest cells, and candidates come from a plain equi-join on `cell`
+    — shuffle ∝ corpus + queries×nprobe rows, pairs ∝ Σ probed-cell
+    sizes, never a cross product.  Unlike the OR-banded LSH join a pair
+    can only meet once (one cell per corpus row), so no dedup pass is
+    needed before scoring."""
+    from pyspark.sql import Window
+
+    mn = _ivf_centroids(right, n_cells, id_col, vec_col)
+    r = right.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    ).withColumn("cell", _assign_udf(mn)(F.col("cvec")))
+    l = left.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    ).withColumn("cell", F.explode(_probe_udf(mn, nprobe)(F.col("qvec"))))
+    pairs = l.join(r, "cell").filter(F.col("qid") != F.col("cid"))
+    scored = pairs.select(
+        "qid", "cid", "cell",
+        F.round(cosine_similarity(F.col("qvec"), F.col("cvec")), 4)
+        .alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

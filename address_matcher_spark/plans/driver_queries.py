@@ -902,6 +902,15 @@ def _query_vec(dim: int = 64) -> list[float]:
     return [((d * 37 + 11) % 101 - 50) / 50.0 for d in range(dim)]
 
 
+def _u01_sql(key_sql: str) -> str:
+    """DuckDB expression mirroring textstats._md5_u01 digit by digit."""
+    expr = "0"
+    for i in range(1, 7):
+        expr = (f"({expr} * 16 + strpos('0123456789abcdef',"
+                f" substr(md5({key_sql}), {i}, 1)) - 1)")
+    return f"cast({expr} AS double) / 16777216.0"
+
+
 def _qvec_sql() -> str:
     return "[" + ", ".join(f"{v!r}" for v in _query_vec()) + "]"
 
@@ -1686,6 +1695,103 @@ _register(
 )
 
 
+# ---------- J2. IVF ANN (data-dependent cells) ----------------------------
+
+_IVF_CELLS = 16
+
+
+def _cos_sql(a: str, b: str, nd: int) -> str:
+    """round(cosine(a, b), nd) with the norm guarded by greatest(·,1e-300)
+    — mirrors similarity._cell_scores' zero-vector guard."""
+    return (
+        f"round(list_sum(list_transform(list_zip({a}, {b}),"
+        f" p -> cast(p[1] AS double) * cast(p[2] AS double)))"
+        f" / (greatest(sqrt(list_sum(list_transform({a},"
+        f" x -> cast(x AS double) * cast(x AS double)))), 1e-300)"
+        f" * greatest(sqrt(list_sum(list_transform({b},"
+        f" x -> cast(x AS double) * cast(x AS double)))), 1e-300)), {nd})"
+    )
+
+
+# Centroids = the n_cells vectors with the smallest md5-u01(vec_id)
+# (ties by id), 0-based index in that order — byte-identical to
+# similarity._ivf_centroids' TakeOrdered.
+_IVF_CENT_SQL = f"""
+    cent AS (
+      SELECT v, row_number() OVER (ORDER BY u, id) - 1 AS cidx
+      FROM (SELECT embedding AS v, {_u01_sql("cast(vec_id AS varchar)")} AS u,
+                   vec_id AS id
+            FROM embeddings ORDER BY u, id LIMIT {_IVF_CELLS}) s),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cidx AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_cos_sql("e.embedding", "c.v", 6)} DESC,
+                          c.cidx ASC) AS rn
+        FROM embeddings e CROSS JOIN cent c) t
+      WHERE rn = 1)"""
+
+_register(
+    "ann_ivf_topk",
+    lambda spark, sf: _q(spark, sf, lambda s: (
+        similarity.ivf_topk(s.table("embeddings"), _query_vec(), k=10,
+                            n_cells=_IVF_CELLS, nprobe=4)
+    )),
+    f"""
+    WITH {_IVF_CENT_SQL},
+    probe AS (
+      SELECT cell FROM (
+        SELECT c.cidx AS cell,
+               row_number() OVER (
+                 ORDER BY {_cos_sql(_qvec_sql(), "c.v", 6)} DESC,
+                          c.cidx ASC) AS rn
+        FROM cent c) t
+      WHERE rn <= 4)
+    SELECT e.vec_id, {_cos_sql("e.embedding", _qvec_sql(), 4)} AS cosine,
+           cast(a.cell AS int) AS cell
+    FROM embeddings e JOIN assign a USING (vec_id)
+    WHERE a.cell IN (SELECT cell FROM probe)
+    ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
+    """,
+)
+
+_register(
+    "ann_ivf_knn_join",
+    lambda spark, sf: _q(spark, sf, lambda s: (
+        similarity.ivf_knn_join(
+            s.table("embeddings").filter(F.col("vec_id") < 40),
+            s.table("embeddings"), k=3, n_cells=_IVF_CELLS, nprobe=2,
+        )
+    )),
+    f"""
+    WITH {_IVF_CENT_SQL},
+    probes AS (
+      SELECT qid, cell FROM (
+        SELECT e.vec_id AS qid, c.cidx AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_cos_sql("e.embedding", "c.v", 6)} DESC,
+                          c.cidx ASC) AS rn
+        FROM embeddings e CROSS JOIN cent c
+        WHERE e.vec_id < 40) t
+      WHERE rn <= 2),
+    pairs AS (
+      SELECT p.qid, a.vec_id AS cid, cast(p.cell AS int) AS cell,
+             {_cos_sql("q.embedding", "c.embedding", 4)} AS cosine
+      FROM probes p
+      JOIN assign a ON a.cell = p.cell
+      JOIN embeddings q ON q.vec_id = p.qid
+      JOIN embeddings c ON c.vec_id = a.vec_id
+      WHERE p.qid <> a.vec_id)
+    SELECT qid, cid, cell, cosine, rank FROM (
+      SELECT qid, cid, cell, cosine,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, cid ASC) AS rank
+      FROM pairs) t
+    WHERE rank <= 3
+    """,
+)
+
+
 # ---------- K. embedding-cosine near-dup (semantic dedup family) ----------
 
 _register(
@@ -2084,15 +2190,6 @@ _register("contamination_ngram_overlap", _contamination_q,
 
 _MIX_WEIGHTS = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25,
                 "src5": 0.1}
-
-
-def _u01_sql(key_sql: str) -> str:
-    """DuckDB expression mirroring textstats._md5_u01 digit by digit."""
-    expr = "0"
-    for i in range(1, 7):
-        expr = (f"({expr} * 16 + strpos('0123456789abcdef',"
-                f" substr(md5({key_sql}), {i}, 1)) - 1)")
-    return f"cast({expr} AS double) / 16777216.0"
 
 
 _MIX_SQL = (

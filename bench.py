@@ -177,6 +177,7 @@ OPERATOR_QUERIES = [
     "sequence_pack_chunks",
     "text_stats",
     "ann_cosine_topk",
+    "ann_ivf_topk",
 ]
 
 

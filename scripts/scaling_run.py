@@ -56,8 +56,19 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+    # SPARK_GRAFT_PIN_CPUS=1: pin each leg (JVM + its Python UDF
+    # workers) to exactly `cpus` physical cores with taskset.  This is
+    # the FAITHFUL executor proxy: a real N-core executor runs its task
+    # threads, GC, shuffle IO and Python workers inside N cores, whereas
+    # an unpinned local[N] JVM on a 32-core box spills GC/netty/pandas
+    # work onto idle cores — proportionally inflating the narrow leg and
+    # depressing measured efficiency.  availableProcessors follows the
+    # affinity mask, so JVM thread-pool sizing is honest too.
+    if os.environ.get("SPARK_GRAFT_PIN_CPUS") == "1":
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
+        cmd,
         capture_output=True, text=True, env=env, cwd=REPO, timeout=7200,
     )
     line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]

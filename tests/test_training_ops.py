@@ -1463,3 +1463,60 @@ def test_duplicate_span_bounds_merging(spark):
     assert by_doc[0] == [[0, 3, 15, 5], [0, 17, 25, 1]]
     # doc 1: spans [0, 12) and [13, 21)
     assert by_doc[1] == [[1, 0, 12, 5], [1, 13, 21, 1]]
+
+
+def _rand_vecs(n, dim=16, seed=3):
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    return rng.randn(n, dim).astype("float32")
+
+
+def test_ivf_topk_probes_subset_and_ranks_like_bruteforce(spark):
+    """IVF top-k returns exact-cosine-ranked rows from the probed cells
+    only; with nprobe == n_cells it degenerates to the brute-force
+    ranking exactly (same scores, same order)."""
+    from address_matcher_spark.operators import similarity
+
+    vecs = _rand_vecs(300)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    q = [float(x) for x in _rand_vecs(1, seed=9)[0]]
+    full = similarity.ivf_topk(df, q, k=10, n_cells=8, nprobe=8).toPandas()
+    brute = similarity.cosine_topk(df, q, k=10).toPandas()
+    assert full["vec_id"].tolist() == brute["vec_id"].tolist()
+    assert full["cosine"].tolist() == brute["cosine"].tolist()
+    # a real probe (nprobe < n_cells) returns a subset of corpus rows,
+    # exactly ranked within the probed cells, never more than k
+    part = similarity.ivf_topk(df, q, k=10, n_cells=8, nprobe=2).toPandas()
+    assert len(part) <= 10
+    assert set(part["cell"].unique()) <= set(range(8))
+    assert part["cosine"].is_monotonic_decreasing
+
+
+def test_ivf_knn_join_deterministic_and_cell_bounded(spark):
+    """Every corpus row sits in exactly one cell, so a (qid, cid) pair
+    appears at most once; repeated runs are identical; nprobe=n_cells
+    covers every corpus row the brute-force join would score."""
+    from address_matcher_spark.operators import similarity
+
+    vecs = _rand_vecs(120)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    left = df.filter(F.col("vec_id") < 8)
+    out = similarity.ivf_knn_join(left, df, k=3, n_cells=6, nprobe=2)
+    a = out.toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    assert not a.duplicated(["qid", "cid"]).any()
+    assert (a.groupby("qid")["rank"].max() <= 3).all()
+    b = (similarity.ivf_knn_join(left, df, k=3, n_cells=6, nprobe=2)
+         .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    # full probe == brute force top-k
+    full = (similarity.ivf_knn_join(left, df, k=3, n_cells=6, nprobe=6)
+            .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True))
+    brute = (similarity.knn_join_bruteforce(left, df, k=3)
+             .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True))
+    assert full["cid"].tolist() == brute["cid"].tolist()
