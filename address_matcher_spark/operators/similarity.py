@@ -14,6 +14,9 @@
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves string type
+# hints (from __future__ import annotations) in the function's GLOBALS,
+# so `pd` must live here, not in a closure
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -289,7 +292,6 @@ def _assign_udf(mn):
     UDF, not an expression tree: n_cells dot products per row as Column
     exprs would repeat the hyperplane Py4J construction blowup this
     module already fixed once (see _plane_component)."""
-    import pandas as pd
 
     @F.pandas_udf("int")
     def assign(vs: pd.Series) -> pd.Series:
@@ -304,7 +306,6 @@ def _assign_udf(mn):
 def _probe_udf(mn, nprobe: int):
     """Arrow-batched top-`nprobe` cells per query vector (score desc,
     cell index asc via stable argsort)."""
-    import pandas as pd
 
     @F.pandas_udf("array<int>")
     def probe(vs: pd.Series) -> pd.Series:
