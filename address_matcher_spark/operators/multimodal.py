@@ -1363,3 +1363,180 @@ def extract_features(df: DataFrame, bin_col: str, id_col: str,
             yield pd.DataFrame(rows)
 
     return df.select(*fields).mapInPandas(run, FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# resize + frame sampling (the remaining multimodal plumbing: decode →
+# RESIZE → features, and per-container FRAME-SAMPLE → one row per frame)
+# ---------------------------------------------------------------------------
+
+
+def _overlap_weights(src: int, dst: int) -> np.ndarray:
+    """(dst, src) row-stochastic matrix of exact interval overlaps:
+    target cell i covers source interval [i·src/dst, (i+1)·src/dst);
+    W[i, y] = |cell i ∩ pixel y| · dst/src.  Area (box) resampling —
+    the correct downscale filter — as one matmul per axis."""
+    scale = src / dst
+    w = np.zeros((dst, src), dtype=np.float64)
+    for i in range(dst):
+        lo, hi = i * scale, (i + 1) * scale
+        y0, y1 = int(np.floor(lo)), int(np.ceil(hi))
+        for y in range(y0, min(y1, src)):
+            w[i, y] = min(hi, y + 1) - max(lo, y)
+    return w / scale
+
+
+def area_resize(gray: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Exact area-weighted (box-filter) resize of a 2-D grayscale array
+    to (th, tw): thumb = W_h · gray · W_wᵀ.  Pure numpy, deterministic,
+    parity-tested against a scalar double loop."""
+    g = gray.astype(np.float64)
+    return _overlap_weights(g.shape[0], th) @ g @ _overlap_weights(
+        g.shape[1], tw).T
+
+
+def _decode_gray(payload: bytes) -> np.ndarray | None:
+    """Grayscale pixel array for any still-image payload the real
+    decoders handle; None for non-images/corrupt bodies (same corrupt-
+    payload error discipline as decode_media)."""
+    try:
+        if payload[:2] == b"BM":
+            return _decode_bmp(payload)
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return _decode_png(payload)
+        if payload[:2] == b"\xff\xd8":
+            return _decode_jpeg(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return _decode_gif(payload)
+    except (ValueError, NotImplementedError, struct.error, zlib.error,
+            IndexError, KeyError, EOFError):
+        return None
+    return None
+
+
+THUMBNAIL_SCHEMA = (
+    "id bigint, media_type string, width int, height int, "
+    "decoded boolean, thumbnail array<float>"
+)
+
+
+def extract_thumbnails(df: DataFrame, bin_col: str, id_col: str,
+                       tw: int = 8, th: int = 8) -> DataFrame:
+    """Decode → area-resize to a (th, tw) thumbnail, flattened
+    row-major, values in [0, 1].  Non-image / undecodable payloads
+    return decoded=false with an empty thumbnail (downstream filters
+    drop or route them).  Same mapInPandas batch shape as
+    extract_features — at scale the only shuffle is whatever the caller
+    does with the result."""
+    fields = [id_col, bin_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"id": [], "media_type": [], "width": [], "height": [],
+                    "decoded": [], "thumbnail": []}
+            for rid, payload in zip(pdf[id_col], pdf[bin_col]):
+                payload = bytes(payload)
+                mt, w, h, ok, _feat = decode_media(payload)
+                gray = _decode_gray(payload) if ok else None
+                rows["id"].append(rid)
+                rows["media_type"].append(mt)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["decoded"].append(gray is not None)
+                rows["thumbnail"].append(
+                    [] if gray is None else [
+                        float(x) / 255.0
+                        for x in area_resize(gray, tw, th).ravel()
+                    ]
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(*fields).mapInPandas(run, THUMBNAIL_SCHEMA)
+
+
+def _avi_frames(b: bytes) -> list[bytes]:
+    """ALL video-frame chunk bodies ('##dc'/'##db', rec-list aware) in
+    container order — the enumeration behind frame sampling;
+    _avi_first_frame is frames[0]."""
+    out: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid = b[pos: pos + 4]
+            ln = struct.unpack_from("<I", b, pos + 4)[0]
+            body_start = pos + 8
+            if cid == b"LIST":
+                ltype = b[body_start: body_start + 4]
+                if ltype in (b"movi", b"rec "):
+                    walk(body_start + 4, body_start + ln)
+            elif (
+                cid[2:4] in (b"dc", b"db")
+                and cid[:2].isdigit()
+                and ln > 0
+            ):
+                out.append(b[body_start: body_start + ln])
+            pos = body_start + ln + (ln & 1)
+
+    walk(12, len(b))
+    return out
+
+
+FRAME_SCHEMA = (
+    "id bigint, frame_idx int, media_type string, width int, height int, "
+    "decoded boolean, feature array<float>"
+)
+
+
+def sample_frames(df: DataFrame, bin_col: str, id_col: str,
+                  every: int = 2, max_frames: int = 4) -> DataFrame:
+    """Frame sampling over video containers: every `every`-th video
+    chunk, up to `max_frames`, ONE OUTPUT ROW PER SAMPLED FRAME.
+    MJPEG and raw-DIB frames decode for real (same paths as
+    decode_media); other codecs yield the deterministic stub feature
+    with decoded=false — the declared container-has-no-codec stub.
+    Non-AVI payloads yield no rows.  The per-payload fan-out happens
+    INSIDE mapInPandas, so the input shuffles once at most and the
+    output row count is bounded by max_frames × payloads."""
+    fields = [id_col, bin_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"id": [], "frame_idx": [], "media_type": [],
+                    "width": [], "height": [], "decoded": [], "feature": []}
+            for rid, payload in zip(pdf[id_col], pdf[bin_col]):
+                payload = bytes(payload)
+                if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+                    continue
+                w, h, _n = _parse_avi_header(payload)
+                strf = _avi_video_strf(payload)
+                for fi, frame in list(
+                    enumerate(_avi_frames(payload))
+                )[::every][:max_frames]:
+                    ok, feat = False, None
+                    try:
+                        if frame[:2] == b"\xff\xd8":
+                            gray = _decode_jpeg(frame)
+                            ok, feat = True, _image_feature(gray)
+                        elif strf is not None and strf[3] == 0:  # BI_RGB
+                            fw, fh, bpp, _comp, pal = strf
+                            gray = _decode_dib_frame(frame, fw, fh, bpp, pal)
+                            ok, feat = True, _image_feature(gray)
+                    except (ValueError, NotImplementedError, struct.error,
+                            IndexError, KeyError):
+                        ok, feat = False, None
+                    if feat is None:
+                        _sw, _sh, feat = _decode_stub(frame)
+                    rows["id"].append(rid)
+                    rows["frame_idx"].append(fi)
+                    rows["media_type"].append("video/avi")
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["decoded"].append(ok)
+                    rows["feature"].append([float(x) for x in feat])
+            # a batch of only non-AVI payloads yields nothing: an EMPTY
+            # pandas frame gets float64 columns Arrow cannot convert to
+            # array<float>, and mapInPandas is fine with skipped batches
+            if rows["id"]:
+                yield pd.DataFrame(rows)
+
+    return df.select(*fields).mapInPandas(run, FRAME_SCHEMA)

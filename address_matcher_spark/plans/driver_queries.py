@@ -2316,3 +2316,97 @@ _register(
     FROM o
     """.replace("{u01}", _u01_sql("cast(doc_id AS varchar)")),
 )
+
+
+# ---------- O. multimodal resize + frame sampling (rows-only) -------------
+
+
+def _mini_bmp(w: int, h: int, rgb: tuple) -> bytes:
+    """Minimal 24bpp BI_RGB BMP, solid colour (driver-side payload
+    builder for the rows-only multimodal queries — deterministic,
+    independent of the operator's decoder)."""
+    import struct as st
+
+    stride = (w * 3 + 3) & ~3
+    row = (bytes(rgb[::-1]) * w).ljust(stride, b"\0")
+    px = row * h
+    return (b"BM" + st.pack("<IHHI", 54 + len(px), 0, 0, 54)
+            + st.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px),
+                      2835, 2835, 0, 0) + px)
+
+
+def _mini_avi_dib(w: int, h: int, vals: list[int]) -> bytes:
+    """Minimal AVI with one raw-DIB (BI_RGB 24bpp) '00db' frame per
+    value: LIST hdrl (avih + vids strl with BITMAPINFOHEADER) + movi."""
+    import struct as st
+
+    stride = (w * 3 + 3) & ~3
+    avih = st.pack("<IIIIIIIIIIIIII",
+                   33367, 0, 0, 0x10, len(vals), 0, 1, 0, w, h, 0, 0, 0, 0)
+    hdrl = b"hdrl" + b"avih" + st.pack("<I", len(avih)) + avih
+    strh = b"vids" + b"DIB " + b"\x00" * 48
+    bih = st.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, 0, 0, 0, 0, 0)
+    strl = (b"strl" + b"strh" + st.pack("<I", len(strh)) + strh
+            + b"strf" + st.pack("<I", len(bih)) + bih)
+    hdrl += b"LIST" + st.pack("<I", len(strl)) + strl
+    chunks = b""
+    for v in vals:
+        frame = (bytes((v % 256, (v * 2) % 256, (v * 3) % 256))
+                 * w).ljust(stride, b"\0") * h
+        chunks += b"00db" + st.pack("<I", len(frame)) + frame
+        if len(frame) & 1:
+            chunks += b"\x00"
+    movi = b"movi" + chunks
+    body = (b"AVI " + b"LIST" + st.pack("<I", len(hdrl)) + hdrl
+            + b"LIST" + st.pack("<I", len(movi)) + movi)
+    return b"RIFF" + st.pack("<I", len(body)) + body
+
+
+def _media_payload_df(spark):
+    """60 deterministic payloads: BMPs, raw-DIB AVIs, and garbage —
+    every decode/skip branch of the thumbnail + frame-sample plumbing."""
+    rows = []
+    for i in range(60):
+        if i % 3 == 0:
+            p = _mini_bmp(6 + i % 4, 4 + i % 3,
+                          (i % 256, (7 * i) % 256, (13 * i) % 256))
+        elif i % 3 == 1:
+            p = _mini_avi_dib(4 + i % 3, 4, [i, i + 1, i + 2, i + 3])
+        else:
+            p = b"not-media-" + str(i).encode()
+        rows.append((i, bytearray(p)))
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def _thumbnail_rows_only(spark, sf):
+    """Rows-only (payload decode is not SQL-expressible); scalar
+    projections of the thumbnail keep the frozen hash format-stable."""
+    from address_matcher_spark.operators import multimodal as M
+
+    t = M.extract_thumbnails(_media_payload_df(spark), "payload",
+                             "doc_id", 3, 3)
+    mean = F.aggregate("thumbnail", F.lit(0.0),
+                       lambda a, x: a + x.cast("double")) / F.size("thumbnail")
+    return t.select(
+        "id", "media_type", "width", "height", "decoded",
+        F.size("thumbnail").alias("n_cells"),
+        F.when(F.size("thumbnail") > 0, F.round(mean, 6))
+        .otherwise(F.lit(0.0)).alias("thumb_mean"),
+    )
+
+
+def _frame_sample_rows_only(spark, sf):
+    from address_matcher_spark.operators import multimodal as M
+
+    fr = M.sample_frames(_media_payload_df(spark), "payload", "doc_id",
+                         every=2, max_frames=2)
+    mean = F.aggregate("feature", F.lit(0.0),
+                       lambda a, x: a + x.cast("double")) / F.size("feature")
+    return fr.select(
+        "id", "frame_idx", "media_type", "width", "height", "decoded",
+        F.round(mean, 6).alias("feat_mean"),
+    )
+
+
+_register("multimodal_thumbnails", _thumbnail_rows_only, None)
+_register("multimodal_frame_sample", _frame_sample_rows_only, None)

@@ -32,6 +32,10 @@ GOLDEN = {
         "defedaeb70b298d81a1002426926ec4c556509b78bfe540e5b193fc46ed75623", 1500),
     "multimodal_decode_stub": (
         "2c4c5cfcf8c8d2935be1730192c69fff6840eeaf01a99f15156b45a7c42136e2", 500),
+    "multimodal_thumbnails": (
+        "f81ff125a3d6b0e3a051750062361ae34721a15804b95e992edcfd4bd8ebbb50", 60),
+    "multimodal_frame_sample": (
+        "4b17f4ff1191b0a5d396be1d5b952a46488534b5d017325d16cef6a4c0fef29a", 40),
 }
 
 

@@ -1520,3 +1520,69 @@ def test_ivf_knn_join_deterministic_and_cell_bounded(spark):
     brute = (similarity.knn_join_bruteforce(left, df, k=3)
              .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True))
     assert full["cid"].tolist() == brute["cid"].tolist()
+
+
+def test_area_resize_exact_vs_scalar():
+    """Matrix-form box resize ≡ the scalar double-loop definition, and a
+    constant image stays constant at any target size."""
+    import numpy as np
+    rng = np.random.RandomState(5)
+    gray = rng.randint(0, 256, size=(13, 7)).astype(np.float64)
+    tw, th = 3, 5
+    got = multimodal.area_resize(gray, tw, th)
+    sh, sw = gray.shape
+    want = np.zeros((th, tw))
+    for i in range(th):
+        for j in range(tw):
+            lo_y, hi_y = i * sh / th, (i + 1) * sh / th
+            lo_x, hi_x = j * sw / tw, (j + 1) * sw / tw
+            acc = 0.0
+            for y in range(int(lo_y), int(np.ceil(hi_y))):
+                for x in range(int(lo_x), int(np.ceil(hi_x))):
+                    wy = min(hi_y, y + 1) - max(lo_y, y)
+                    wx = min(hi_x, x + 1) - max(lo_x, x)
+                    acc += gray[y, x] * wy * wx
+            want[i, j] = acc / ((sh / th) * (sw / tw))
+    assert np.allclose(got, want, atol=1e-9)
+    # mean preservation (box filter is a partition of the image)
+    assert abs(got.mean() - gray.mean()) < 1e-9
+    const = multimodal.area_resize(np.full((9, 9), 77.0), 4, 4)
+    assert np.allclose(const, 77.0)
+
+
+def test_extract_thumbnails_spark(spark):
+    """Real decode → resize for BMP/PNG; undecodable payloads come back
+    decoded=false with an empty thumbnail."""
+    rows = [
+        (0, bytearray(_make_bmp(6, 4, (90, 40, 20)))),
+        (1, bytearray(_make_png(5, 5, 200))),
+        (2, bytearray(b"garbage-not-an-image")),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {r["id"]: r for r in
+           multimodal.extract_thumbnails(df, "payload", "id", 2, 2).collect()}
+    assert out[0]["decoded"] and len(out[0]["thumbnail"]) == 4
+    assert out[1]["decoded"]
+    # PNG of constant gray 200 → every thumbnail cell is 200/255
+    assert all(abs(v - 200 / 255) < 1e-6 for v in out[1]["thumbnail"])
+    assert not out[2]["decoded"] and out[2]["thumbnail"] == []
+
+
+def test_sample_frames_spark(spark):
+    """Every 2nd MJPEG frame decodes for real, one row per sampled
+    frame; non-AVI payloads yield no rows."""
+    import numpy as np
+    img = np.full((8, 8), 128, dtype=np.uint8)
+    jpegs = [_make_jpeg(img) for _ in range(5)]
+    avi = _make_avi(8, 8, 5, frame_payloads=jpegs)
+    df = spark.createDataFrame(
+        [(7, bytearray(avi)), (8, bytearray(b"RIFFxxxxWAVE"))],
+        "id long, payload binary",
+    )
+    out = (multimodal.sample_frames(df, "payload", "id", every=2,
+                                    max_frames=3)
+           .orderBy("frame_idx").collect())
+    assert [r["id"] for r in out] == [7, 7, 7]
+    assert [r["frame_idx"] for r in out] == [0, 2, 4]
+    assert all(r["decoded"] for r in out)
+    assert all(r["width"] == 8 and r["height"] == 8 for r in out)
