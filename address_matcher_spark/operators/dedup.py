@@ -195,6 +195,63 @@ def _band_rows(sig: DataFrame, k: int, bands: int) -> DataFrame:
     return allb
 
 
+def _bucket_star_edges(band_rows: DataFrame,
+                       fresh_col: str | None = None) -> DataFrame:
+    """Connectivity-preserving contraction of the within-bucket pair set
+    (round 8, guide §2.3 — shuffle keys, not payloads, and never generate
+    what you only need the closure of): per (band, band_sig) bucket emit
+    ONE star — every member connected to the bucket's min doc_id — instead
+    of the all-pairs join.  A b-member bucket contributes b-1 edges, not
+    b(b-1)/2: all members are connected through the root, so connected
+    components over the stars equal connected components over the pairs
+    (each bucket's members form one component fragment either way).  The
+    bench corpus's ~2700-doc near-dup buckets made the pairwise form emit
+    15.2M in-bucket pairs at sf0.1; the stars are ≤ docs×bands rows total.
+
+    fresh_col: incremental-refresh restriction — only buckets holding at
+    least one fresh (flag=1) row emit their star, mirroring the original
+    fresh×(old ∪ fresh) join which likewise emitted nothing for buckets
+    of only-old docs (their connectivity already lives in the old
+    labels).  Equivalence per bucket B with fresh F≠∅: the original edge
+    set {(f, x) : f ∈ F, x ∈ B, x ≠ f} and the star {(min B, x)} both
+    connect exactly the members of B, and both touch every member of B
+    as an endpoint — so the CC labels AND the touched-cluster detection
+    downstream are unchanged.
+    """
+    w = SqlWindow.partitionBy("band", "band_sig")
+    out = band_rows.withColumn("__root", F.min("doc_id").over(w))
+    if fresh_col is not None:
+        out = (
+            out.withColumn("__hf", F.max(F.col(fresh_col)).over(w))
+            .filter(F.col("__hf") == 1)
+        )
+    return (
+        out.filter(F.col("doc_id") != F.col("__root"))
+        .select(F.col("__root").alias("src"), F.col("doc_id").alias("dst"))
+        .distinct()
+    )
+
+
+def minhash_lsh_star_edges(
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Edge set with the SAME connected components as minhash_lsh_pairs,
+    in O(docs×bands) edges instead of O(Σ bucket²) — the input to use for
+    clustering (connected_components); use minhash_lsh_pairs only when
+    the individual candidate pairs themselves are the product."""
+    sig = (
+        ensure_parallel(docs)
+        .select(F.col(id_col).alias("doc_id"),
+                token_hashes(F.col(text_col)).alias("__h"))
+        .select("doc_id", *minhash_signature_cols_from_hashes(F.col("__h"), k))
+    )
+    return _bucket_star_edges(_band_rows(sig, k, bands))
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     k: int = MINHASH_K,
@@ -203,7 +260,10 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing any full band of the signature.
-    Shuffle cost is docs×bands rows, never the quadratic pair space."""
+    Shuffle cost is docs×bands rows, never the quadratic pair space.
+    NOTE the OUTPUT is quadratic in bucket size (that is its semantic —
+    each colliding pair is a row); consumers that only need the
+    transitive closure should take minhash_lsh_star_edges instead."""
     sig = (
         ensure_parallel(docs)
         .select(F.col(id_col).alias("doc_id"),
@@ -266,9 +326,11 @@ def incremental_dedup_labels(
          old state or under a smaller new id) skip LSH banding entirely —
          identical text ⇒ identical signature ⇒ zero new information —
          and connect by a direct edge to the min doc with that content;
-      3. LSH candidates: band-join of the fresh new band rows against
-         old ∪ fresh band rows — new-vs-old plus new-vs-new, shuffle ∝
-         (|old|+|new|)·bands rows, old-vs-old pairs never regenerated;
+      3. LSH connectivity: per-(band, bucket) STAR edges over old ∪
+         fresh band rows, restricted to buckets holding a fresh doc —
+         shuffle ∝ (|old|+|new|)·bands rows AND edges ∝ bucket sizes
+         (not bucket²); old-only buckets emit nothing (their
+         connectivity already lives in old_labels);
       4. connected components over (new pairs) ∪ (exact-twin edges) ∪
          the star edges of only the TOUCHED old clusters — old clusters
          no new edge reaches are passed through verbatim, so the CC
@@ -313,16 +375,18 @@ def incremental_dedup_labels(
         twin_edges.select(F.col("dst").alias("doc_id")), "doc_id", "left_anti"
     )
 
-    fresh_bands = _band_rows(fresh, k, bands)
-    all_bands = _band_rows(old_sigs, k, bands).unionByName(fresh_bands)
-    lsh_edges = (
-        fresh_bands.select(F.col("doc_id").alias("a"), "band", "band_sig")
-        .join(all_bands.select(F.col("doc_id").alias("b"), "band", "band_sig"),
-              ["band", "band_sig"])
-        .filter(F.col("a") != F.col("b"))
-        .select(F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst"))
-        .distinct()
-    )
+    # Star edges per (band, bucket) instead of the fresh×(old ∪ fresh)
+    # pair join (round 8): a bucket with any fresh member emits one star
+    # (members → bucket min), which has the identical connected
+    # components and identical endpoint set as the pairwise form (proof
+    # in _bucket_star_edges) at O(bucket) instead of O(bucket·fresh)
+    # edges — the sf0.1 bench corpus's ~2700-doc near-dup buckets made
+    # the pairwise refresh emit millions of edges for a 1250-doc batch.
+    fresh_bands = _band_rows(fresh, k, bands).withColumn(
+        "__fresh", F.lit(1))
+    all_bands = _band_rows(old_sigs, k, bands).withColumn(
+        "__fresh", F.lit(0)).unionByName(fresh_bands)
+    lsh_edges = _bucket_star_edges(all_bands, fresh_col="__fresh")
     # Materialise the refresh's edge set once: THREE consumers below
     # (endpoint extraction reads src and dst, the CC input unions it) and
     # Catalyst re-evaluates the whole band join per consumer — measured

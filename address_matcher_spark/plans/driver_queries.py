@@ -1880,9 +1880,13 @@ def _dedup_clusters_q(spark, sf):
     register_views(spark, sf)
     from address_matcher_spark.operators.cluster import connected_components
 
-    pairs = dedup.minhash_lsh_pairs(spark.table("documents"))
-    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-    return connected_components(edges)
+    # star edges, not the pairwise band join: identical components at
+    # O(bucket) instead of O(bucket²) edges (round 8; the oracle is the
+    # unchanged recursive closure over the pairwise join, so the driver
+    # compare proves the contraction exact)
+    return connected_components(
+        dedup.minhash_lsh_star_edges(spark.table("documents"))
+    )
 
 
 _register(
@@ -1939,10 +1943,12 @@ def _dedup_incremental_q(spark, sf):
     # (both frames have multiple consumers inside incremental_dedup_labels,
     # and Catalyst re-evaluates shared subtrees)
     old_sigs = dedup.minhash_signature_table(old).localCheckpoint()
+    # the old-state labels come from the star-edge contraction (identical
+    # components, O(bucket) edges — see dedup._bucket_star_edges); the
+    # prior pairwise band join emitted ~3.7M edges for the sf0.1 old
+    # corpus and dominated this query's wall
     old_labels = connected_components(
-        dedup.minhash_lsh_pairs(old).select(
-            F.col("a").alias("src"), F.col("b").alias("dst")
-        )
+        dedup.minhash_lsh_star_edges(old)
     ).localCheckpoint()
     return dedup.incremental_dedup_labels(new, old_sigs, old_labels)
 
@@ -1973,10 +1979,7 @@ def _corpus_keep_q(spark, sf):
         .filter(F.col("doc_id") != F.col("keeper_id"))
         .select("doc_id")
     )
-    pairs = dedup.minhash_lsh_pairs(docs)
-    labels = connected_components(
-        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-    )
+    labels = connected_components(dedup.minhash_lsh_star_edges(docs))
     near_nonkeepers = (
         labels.filter(F.col("node") != F.col("cluster_id"))
         .select(F.col("node").alias("doc_id"))
