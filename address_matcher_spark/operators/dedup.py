@@ -122,26 +122,42 @@ def ngram_jaccard_pairs(
                 .alias("shingle"))
         .filter(F.col("shingle").isNotNull())
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # SINGLE-CONSUMPTION shape (round 8): the old plan fanned sh out to
+    # three aggregate branches (sizes, freq, the capped join input) and
+    # joined sizes back twice — Catalyst re-evaluated the tokenise +
+    # shingle chain once per branch (no DAG sharing).  Ride both counts
+    # on sh itself as count windows (per_doc size, per-shingle doc
+    # frequency): sh is distinct on (doc, shingle) by construction, so
+    # the windows equal the old groupBy counts, the chain evaluates
+    # exactly ONCE, and na/nb arrive on the join inputs for free.  The
+    # shingle window's hash partitioning is exactly the self-join's
+    # required clustering, and the join's two sides are the identical
+    # subtree (one ReusedExchange instead of two shuffles).
+    w_doc = SqlWindow.partitionBy("doc_id")
+    w_sh = SqlWindow.partitionBy("shingle")
+    shd = (
+        sh.withColumn("__n", F.count(F.lit(1)).over(w_doc))
+        .withColumn("__df", F.count(F.lit(1)).over(w_sh))
+    )
     if dropped_out is not None:
-        n_dropped = freq.filter(F.col("df") > max_doc_freq).count()
+        n_dropped = (
+            shd.filter(F.col("__df") > max_doc_freq)
+            .select("shingle").distinct().count()
+        )
         dropped_out.append(n_dropped)
-    sh_f = sh.join(freq.filter(F.col("df") <= max_doc_freq), "shingle")
-    a = sh_f.select(F.col("doc_id").alias("a"), "shingle")
-    b = sh_f.select(F.col("doc_id").alias("b"), "shingle")
+    sh_f = shd.filter(F.col("__df") <= max_doc_freq)
+    a = sh_f.select(F.col("doc_id").alias("a"), "shingle",
+                    F.col("__n").alias("na"))
+    b = sh_f.select(F.col("doc_id").alias("b"), "shingle",
+                    F.col("__n").alias("nb"))
     common = (
         a.join(b, "shingle")
         .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
+        .groupBy("a", "b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("common"))
     )
     out = (
-        common.join(sizes.select(F.col("doc_id").alias("a"),
-                                 F.col("n_shingles").alias("na")), "a")
-        .join(sizes.select(F.col("doc_id").alias("b"),
-                           F.col("n_shingles").alias("nb")), "b")
-        .withColumn(
+        common.withColumn(
             "jaccard",
             F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
         )

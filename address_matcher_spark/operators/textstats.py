@@ -78,23 +78,38 @@ def lang_id(text: Column) -> Column:
     return out
 
 
+def _norm_text(text: Column) -> Column:
+    """Lowercase alnum-collapsed normal form shared by the fingerprints."""
+    return F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " "))
+
+
 def fingerprint(text: Column) -> Column:
     """Normalised-content fingerprint: md5 of lowercase alnum-collapsed text."""
-    norm = F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " "))
-    return F.md5(norm)
+    return F.md5(_norm_text(text))
 
 
-def rolling_min_fingerprint(text: Column, gram: int = 5) -> Column:
-    """Winnowing-style sketch: minimum md5-derived hash over all character
-    5-grams of the normalised text (rolling-hash fingerprint; robust to
-    small edits)."""
-    norm = F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " "))
+def rolling_min_fingerprint_from_norm(norm: Column, gram: int = 5) -> Column:
+    """rolling_min_fingerprint over an ALREADY-NORMALISED column.  The
+    norm must be a projected COLUMN, not an expression: the gram lambda
+    references it once per character position, and an inlined
+    regexp_replace chain re-evaluates per element — measured ~3× the
+    whole document_stats projection (round 8; same staging rule as
+    repetition_filter)."""
     idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (gram - 1), F.lit(1)))
     grams = F.transform(idx, lambda i: F.substring(norm, i, gram))
     hashes = F.transform(
         grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint")
     )
     return F.array_min(hashes)
+
+
+def rolling_min_fingerprint(text: Column, gram: int = 5) -> Column:
+    """Winnowing-style sketch: minimum md5-derived hash over all character
+    5-grams of the normalised text (rolling-hash fingerprint; robust to
+    small edits).  Single-reference consumers only — stage _norm_text
+    into its own projection first when possible (see
+    rolling_min_fingerprint_from_norm)."""
+    return rolling_min_fingerprint_from_norm(_norm_text(text), gram)
 
 
 def document_stats(docs: DataFrame, text_col: str = "text",
@@ -106,7 +121,16 @@ def document_stats(docs: DataFrame, text_col: str = "text",
     if docs.rdd.getNumPartitions() < want:
         docs = docs.repartition(want)
     t = F.col(text_col)
-    return docs.select(
+    # STAGED: the normalised text is projected once and referenced 3×
+    # in the second stage (md5 fingerprint, the per-position gram lambda,
+    # the index bound) — inlined, the regexp_replace chain re-ran once
+    # per CHARACTER inside the transform lambda (round 8, ~40% of the
+    # query's wall; same Catalyst staging rule as repetition_filter)
+    staged = docs.select(F.col(id_col), t.alias("__t"),
+                         _norm_text(t).alias("__norm"))
+    t = F.col("__t")
+    norm = F.col("__norm")
+    return staged.select(
         F.col(id_col),
         token_count(t).alias("n_tokens"),
         bpe_token_count(t).alias("n_bpe_tokens"),
@@ -115,8 +139,8 @@ def document_stats(docs: DataFrame, text_col: str = "text",
         mean_word_len(t).alias("mean_word_len"),
         quality_score(t).alias("quality"),
         lang_id(t).alias("lang_pred"),
-        fingerprint(t).alias("fingerprint"),
-        rolling_min_fingerprint(t).alias("min_gram_hash"),
+        F.md5(norm).alias("fingerprint"),
+        rolling_min_fingerprint_from_norm(norm).alias("min_gram_hash"),
     )
 
 

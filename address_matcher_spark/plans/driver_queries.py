@@ -461,12 +461,19 @@ _register(
 _register(
     "er_block_pair_counts",
     lambda spark, sf: _q(spark, sf, lambda s: (
-        blocking.block_join(
-            s.table("er_search").select("record_id", F.col("postcode").alias("bk")),
-            s.table("er_ref").select("ref_id", F.col("postcode").alias("bk")),
-            "bk", salt=4, salt_id_col="record_id",
+        # pair COUNTS need no pair rows (guide §2.3, aggregate before you
+        # shuffle): count each side per block and multiply — the inner
+        # equi-join's per-block cardinality is exactly sc×rc.  The
+        # previous form materialised the salted block join (~12.5M pair
+        # rows at sf0.1, ref side replicated 4×) just to count it.
+        s.table("er_search").groupBy(F.col("postcode").alias("bk"))
+        .agg(F.count(F.lit(1)).alias("__sc"))
+        .join(
+            s.table("er_ref").groupBy(F.col("postcode").alias("bk"))
+            .agg(F.count(F.lit(1)).alias("__rc")),
+            "bk",
         )
-        .groupBy("bk").agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select("bk", (F.col("__sc") * F.col("__rc")).alias("n_pairs"))
     )),
     _with_er("""
     SELECT s.postcode AS bk, count(*) AS n_pairs
@@ -501,20 +508,27 @@ _register(
         .repartition(s.sparkContext.defaultParallelism * 4)
         .alias("s")
         .join(s.table("er_ref").alias("r"), F.col("s.postcode") == F.col("r.postcode"))
-        # project the levenshtein ONCE before the window (orderBy on the
-        # raw expression would evaluate it twice per row)
+        # project the levenshtein ONCE before aggregating
         .select(
             "record_id", "ref_id",
             F.levenshtein(F.col("s.body"), F.col("r.body")).alias("lev"),
         )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("record_id").orderBy(F.asc("lev"), F.asc("ref_id"))
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        # arg-min as a MAP-SIDE PARTIAL AGGREGATE (guide §2.3 "aggregate
+        # before you shuffle"), not a row_number window: the ~12.5M-pair
+        # fan-out partial-aggregates to ≤ n_records rows per map
+        # partition before the exchange, where the window shuffled and
+        # sorted every pair row.  (lev, ref_id) lexicographic min is
+        # packed into ONE bigint (lev << 40 | ref_id) so the aggregate
+        # stays a codegen'd HashAggregate — min(struct(...)) planned as
+        # a SortAggregate and measured SLOWER than the window (5.2 s vs
+        # 3.5 s; the packed min is 1.9-2.3 s).  Bounds: lev ≤ body
+        # length < 2^23, 0 ≤ ref_id = c_custkey < 2^40 at any TPC-H SF.
+        .groupBy("record_id")
+        .agg(F.min(F.col("lev").cast("bigint") * F.lit(1 << 40)
+                   + F.col("ref_id")).alias("__m"))
+        .select("record_id",
+                F.col("__m").bitwiseAND(F.lit((1 << 40) - 1)).alias("ref_id"),
+                F.shiftright(F.col("__m"), 40).cast("int").alias("lev"))
     )),
     _with_er("""
     SELECT record_id, ref_id, lev FROM (
