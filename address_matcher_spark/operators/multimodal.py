@@ -1420,6 +1420,24 @@ THUMBNAIL_SCHEMA = (
 )
 
 
+_STILL_MEDIA_TYPES = (
+    (lambda p: p[:2] == b"BM", "image/bmp"),
+    (lambda p: p[:8] == b"\x89PNG\r\n\x1a\n", "image/png"),
+    (lambda p: p[:2] == b"\xff\xd8", "image/jpeg"),
+    (lambda p: p[:6] in (b"GIF87a", b"GIF89a"), "image/gif"),
+)
+
+
+def _still_media_type(payload: bytes) -> str | None:
+    """media_type by magic for the still-image formats _decode_gray
+    handles (the same magic dispatch — and the same labels — as
+    decode_media)."""
+    for probe, mt in _STILL_MEDIA_TYPES:
+        if probe(payload):
+            return mt
+    return None
+
+
 def extract_thumbnails(df: DataFrame, bin_col: str, id_col: str,
                        tw: int = 8, th: int = 8) -> DataFrame:
     """Decode → area-resize to a (th, tw) thumbnail, flattened
@@ -1436,8 +1454,23 @@ def extract_thumbnails(df: DataFrame, bin_col: str, id_col: str,
                     "decoded": [], "thumbnail": []}
             for rid, payload in zip(pdf[id_col], pdf[bin_col]):
                 payload = bytes(payload)
-                mt, w, h, ok, _feat = decode_media(payload)
-                gray = _decode_gray(payload) if ok else None
+                # Still images decode exactly ONCE (round 8, ADVICE r7):
+                # the previous shape ran decode_media (full pixel decode
+                # + feature, both discarded) and then _decode_gray again
+                # — doubling the dominant per-payload CPU.  Metadata for
+                # a decodable still is the gray array's own shape;
+                # everything else (audio/video/corrupt) still goes
+                # through decode_media, whose outputs are unchanged.
+                mt = _still_media_type(payload)
+                if mt is not None:
+                    gray = _decode_gray(payload)
+                    if gray is not None:
+                        w, h = gray.shape[1], gray.shape[0]
+                    else:  # corrupt body: decode_media's stub fallback
+                        mt, w, h, _ok, _feat = decode_media(payload)
+                else:
+                    gray = None
+                    mt, w, h, _ok, _feat = decode_media(payload)
                 rows["id"].append(rid)
                 rows["media_type"].append(mt)
                 rows["width"].append(w)
@@ -1507,10 +1540,19 @@ def sample_frames(df: DataFrame, bin_col: str, id_col: str,
                 payload = bytes(payload)
                 if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
                     continue
-                w, h, _n = _parse_avi_header(payload)
-                strf = _avi_video_strf(payload)
+                # corrupt-payload discipline (ADVICE r7): valid RIFF/AVI
+                # magic with a corrupt body (missing avih, lying LIST
+                # sizes) must skip the payload, not fail the stage — the
+                # same guard decode_media wraps these exact calls in
+                try:
+                    w, h, _n = _parse_avi_header(payload)
+                    strf = _avi_video_strf(payload)
+                    frames = _avi_frames(payload)
+                except (ValueError, NotImplementedError, struct.error,
+                        IndexError, KeyError, EOFError):
+                    continue  # one bad blob yields no rows
                 for fi, frame in list(
-                    enumerate(_avi_frames(payload))
+                    enumerate(frames)
                 )[::every][:max_frames]:
                     ok, feat = False, None
                     try:

@@ -1586,3 +1586,30 @@ def test_sample_frames_spark(spark):
     assert [r["frame_idx"] for r in out] == [0, 2, 4]
     assert all(r["decoded"] for r in out)
     assert all(r["width"] == 8 and r["height"] == 8 for r in out)
+
+
+def test_sample_frames_corrupt_container(spark):
+    """Valid RIFF/AVI magic with a corrupt body (no avih header / lying
+    LIST size) skips the payload instead of failing the stage (round-8
+    guard, ADVICE r7); a healthy payload in the same batch still
+    decodes."""
+    import struct as st
+
+    import numpy as np
+    img = np.full((8, 8), 128, dtype=np.uint8)
+    good = _make_avi(8, 8, 2, frame_payloads=[_make_jpeg(img)] * 2)
+    # magic only, body is junk (no hdrl LIST → _parse_avi_header raises)
+    no_hdrl = b"RIFF" + st.pack("<I", 20) + b"AVI " + b"junkjunkjunkjunk"
+    # a LIST whose declared size runs past the buffer
+    lying = (b"RIFF" + st.pack("<I", 64) + b"AVI "
+             + b"LIST" + st.pack("<I", 0xFFFFFF) + b"hdrlavih"
+             + st.pack("<I", 56) + b"\x00" * 8)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(no_hdrl)),
+         (3, bytearray(lying))],
+        "id long, payload binary",
+    )
+    out = (multimodal.sample_frames(df, "payload", "id", every=1,
+                                    max_frames=4).collect())
+    assert {r["id"] for r in out} == {1}
+    assert len(out) == 2
