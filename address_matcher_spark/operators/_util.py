@@ -50,9 +50,30 @@ def estimated_bytes(df: DataFrame, n_rows: int, sample_rows: int = 2000) -> int:
 def should_broadcast(df: DataFrame, max_bytes: int, n_rows: int | None = None) -> bool:
     """True when the measured size fits under the explicit-broadcast ceiling.
     Anything larger is left to a shuffled equi-join (AQE may still convert
-    it if its own byte stats allow)."""
-    n = df.count() if n_rows is None else n_rows
-    return estimated_bytes(df, n) <= max_bytes
+    it if its own byte stats allow).
+
+    One aggregate JOB (round 8): count and mean serialized-row-width in
+    the same pass.  The previous two-step (count job, then a sampled
+    width scan) cost two scheduler round-trips on run_waterfall's
+    critical path — and the count job already scanned every partition of
+    the materialised ref side, so the fused full-scan average costs the
+    same I/O as the count alone while dropping the second job and the
+    sampling bias."""
+    if n_rows is not None:
+        return estimated_bytes(df, n_rows) <= max_bytes
+    per_field = [
+        F.coalesce(F.octet_length(F.col(f.name).cast("string")), F.lit(0))
+        + F.lit(16)  # UnsafeRow field overhead + object headers, roughly
+        for f in df.schema.fields
+    ]
+    row_bytes = per_field[0]
+    for e in per_field[1:]:
+        row_bytes = row_bytes + e
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"), F.avg(row_bytes).alias("avg_b")
+    ).first()
+    est = int(float(agg["avg_b"] or 0.0) * int(agg["n"] or 0))
+    return est <= max_bytes
 
 
 def scoring_npart(spark, residue_rows: int | None = None) -> int:
