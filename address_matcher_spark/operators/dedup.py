@@ -248,6 +248,16 @@ def _bucket_star_edges(band_rows: DataFrame,
     )
 
 
+def star_edges_from_signatures(
+    sigs: DataFrame, k: int = MINHASH_K, bands: int = 4,
+) -> DataFrame:
+    """minhash_lsh_star_edges over an EXISTING signature table
+    (doc_id, mh0..mh{k-1}) — the form to use when the signatures are
+    already materialised (e.g. the durable corpus-refresh state), so the
+    tokenise+minhash projection is not recomputed from text."""
+    return _bucket_star_edges(_band_rows(sigs, k, bands))
+
+
 def minhash_lsh_star_edges(
     docs: DataFrame,
     k: int = MINHASH_K,
@@ -265,7 +275,7 @@ def minhash_lsh_star_edges(
                 token_hashes(F.col(text_col)).alias("__h"))
         .select("doc_id", *minhash_signature_cols_from_hashes(F.col("__h"), k))
     )
-    return _bucket_star_edges(_band_rows(sig, k, bands))
+    return star_edges_from_signatures(sig, k, bands)
 
 
 def minhash_lsh_pairs(

@@ -581,22 +581,41 @@ _register(
 _register(
     "er_weighted_field_score",
     lambda spark, sf: _q(spark, sf, lambda s: (
-        s.table("er_search").alias("s")
-        .join(s.table("er_ref").alias("r"), F.col("s.postcode") == F.col("r.postcode"))
+        # per-SIDE pre-projection (round 8, guide §2.3 "project before
+        # the exchange" / §4.4): the number extract and street strip
+        # depend only on the search row, so they run once per ROW here
+        # instead of once per PAIR after the block join — and keeping
+        # the JW pandas-UDF + score expression in ONE staged select
+        # stops the optimizer re-inlining the UDF into the `matched`
+        # predicate (two ArrowEvalPython nodes over the ~12.5M-pair
+        # fan-out before; measured 29 s → ~2.5 s)
+        s.table("er_search")
+        .select(
+            "record_id", "postcode",
+            F.regexp_extract(F.col("body"), r"^(\d+)", 1).alias("__pn_s"),
+            F.regexp_replace(F.col("body"), r"^[\d\- ]+", "")
+            .alias("__street_s"),
+        )
+        # numbered repartition BEFORE the broadcast join — without it the
+        # pair fan-out + JW UDF run on the parquet scan's 1-2 splits
+        # (same trap er_levenshtein_best documents)
+        .repartition(s.sparkContext.defaultParallelism)
+        .join(
+            s.table("er_ref").select(
+                "ref_id", F.col("postcode").alias("__pc_r"),
+                "pao_number", "street",
+            ),
+            F.col("postcode") == F.col("__pc_r"),
+        )
         .select(
             "record_id", "ref_id",
             F.round(
                 2.0 * scoring.exact_similarity(
-                    F.regexp_extract(F.col("s.body"), r"^(\d+)", 1),
-                    F.col("r.pao_number"),
-                )
+                    F.col("__pn_s"), F.col("pao_number"))
                 + 2.0 * scoring.jaro_winkler_udf(
-                    F.regexp_replace(F.col("s.body"), r"^[\d\- ]+", ""),
-                    F.col("r.street"),
-                )
+                    F.col("__street_s"), F.col("street"))
                 + 0.5 * scoring.levenshtein_similarity(
-                    F.col("s.postcode"), F.col("r.postcode")
-                ),
+                    F.col("postcode"), F.col("__pc_r")),
                 4,
             ).alias("score"),
         )
@@ -1975,11 +1994,14 @@ def _dedup_incremental_q(spark, sf):
     # and Catalyst re-evaluates shared subtrees)
     old_sigs = dedup.minhash_signature_table(old).localCheckpoint()
     # the old-state labels come from the star-edge contraction (identical
-    # components, O(bucket) edges — see dedup._bucket_star_edges); the
-    # prior pairwise band join emitted ~3.7M edges for the sf0.1 old
-    # corpus and dominated this query's wall
+    # components, O(bucket) edges — see dedup._bucket_star_edges) over
+    # the ALREADY-MATERIALISED signature table, not from the raw text
+    # (the prior pairwise band join emitted ~3.7M edges for the sf0.1
+    # old corpus and dominated this query's wall; rebuilding signatures
+    # from text would re-pay the tokenise+minhash projection the
+    # checkpoint above just persisted)
     old_labels = connected_components(
-        dedup.minhash_lsh_star_edges(old)
+        dedup.star_edges_from_signatures(old_sigs)
     ).localCheckpoint()
     return dedup.incremental_dedup_labels(new, old_sigs, old_labels)
 
