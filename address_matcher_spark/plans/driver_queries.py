@@ -1053,6 +1053,11 @@ def _decisions_combined(spark, sf):
         F.col("postcode").alias("__bk"),
         F.col("pao_number").alias("property_number_reference"),
     )
+    # numbered repartition before the broadcast join: the er_search view
+    # scans 1-2 parquet splits, and without this the ~12.5M-pair fan-out
+    # runs on those 1-2 tasks (round 8; same trap er_levenshtein_best
+    # documents)
+    s2 = s2.repartition(spark.sparkContext.defaultParallelism)
     pairs = s2.join(r2, "__bk").drop("__bk")
     score = F.when(
         F.col("search_mod_address") == F.col("reference_mod_address"),
@@ -1067,6 +1072,21 @@ def _decisions_combined(spark, sf):
         pairs = pairs.withColumn(f"{f}_search", F.lit(None).cast("string"))
         pairs = pairs.withColumn(f"{f}_reference", F.lit(None).cast("string"))
 
+    # Per-record arg-max PRE-PRUNE (round 8, guide §2.3): both passes'
+    # maxima come out of ONE map-side partial aggregate (shuffle ∝
+    # records, not pairs) and are broadcast back, so only max-tying rows
+    # ever reach the keep_max_score window — the window previously
+    # shuffled the whole pair fan-out per pass.  Filtering score ==
+    # per-record max before keep_max_score keeps exactly the rows the
+    # window would keep (ties included), so the composed chain below is
+    # row-identical.
+    mx = pairs.groupBy("record_id").agg(
+        F.max(F.when(F.col("variant") <= 1, F.col("fuzzy_score")))
+        .alias("__mx1"),
+        F.max("fuzzy_score").alias("__mx2"),
+    )
+    pruned = pairs.join(F.broadcast(mx), "record_id")
+
     def one_pass(pdf, blocker, method):
         out = sel.keep_max_score(pdf, "record_id")
         out = verify.add_decisions(out, blocker)
@@ -1074,8 +1094,17 @@ def _decisions_combined(spark, sf):
         out = sel.best_match(out, "record_id")
         return out.withColumn("match_method", F.lit(method))
 
-    p1 = one_pass(pairs.filter(F.col("variant") <= 1), "Postcode", "pc")
-    p2 = one_pass(pairs, "Street", "st")
+    p1 = one_pass(
+        pruned.filter((F.col("variant") <= 1)
+                      & (F.col("fuzzy_score") == F.col("__mx1")))
+        .drop("__mx1", "__mx2"),
+        "Postcode", "pc",
+    )
+    p2 = one_pass(
+        pruned.filter(F.col("fuzzy_score") == F.col("__mx2"))
+        .drop("__mx1", "__mx2"),
+        "Street", "st",
+    )
     return sel.combine_passes([p1, p2], key="record_id")
 
 
