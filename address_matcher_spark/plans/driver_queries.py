@@ -582,13 +582,13 @@ _register(
     "er_weighted_field_score",
     lambda spark, sf: _q(spark, sf, lambda s: (
         # per-SIDE pre-projection (round 8, guide §2.3 "project before
-        # the exchange" / §4.4): the number extract and street strip
-        # depend only on the search row, so they run once per ROW here
-        # instead of once per PAIR after the block join — and keeping
-        # the JW pandas-UDF + score expression in ONE staged select
-        # stops the optimizer re-inlining the UDF into the `matched`
-        # predicate (two ArrowEvalPython nodes over the ~12.5M-pair
-        # fan-out before; measured 29 s → ~2.5 s)
+        # the exchange"): the number extract and street strip depend
+        # only on the search row, so they run once per ROW here instead
+        # of once per PAIR after the block join (the before-plan shows
+        # regexp_replace inside the ArrowEvalPython args and
+        # regexp_extract in the score projection, both per pair over
+        # the ~12.5M-pair fan-out) — measured 29 s → ~2.2 s together
+        # with the repartition below
         s.table("er_search")
         .select(
             "record_id", "postcode",
