@@ -112,6 +112,7 @@ def salt_for_cogroup_adaptive(
     max_splits: int = 64,
     search_id_col: str = "record_id",
     ref_id_col: str = "ref_id",
+    ref_hist: DataFrame | None = None,
 ):
     """PER-BLOCK two-sided (grid) salting for cogrouped cross-scoring —
     X4 done properly.
@@ -126,8 +127,20 @@ def salt_for_cogroup_adaptive(
     it.  Per-block factors live in a broadcast histogram join; no driver
     collect.
     """
+    # ref_hist (round 8): a precomputed (key, count) histogram of the
+    # ref side — run_waterfall materialises one per (level, blocker) ref
+    # prep and threads it into all passes, where each pass previously
+    # recomputed the aggregation (and the prefilter semi-join feeding
+    # it) from scratch.  The histogram may cover a SUPERSET of ref's
+    # blocks (it is taken before the per-pass semi-join prefilter):
+    # per-block counts are identical for surviving blocks — the
+    # prefilter drops whole blocks, never rows within one — and extra
+    # blocks vanish in the inner join with the search histogram, so the
+    # salting decisions are unchanged.
     sh = search.groupBy(key).count().withColumnRenamed("count", "__sc")
-    rh = ref.groupBy(key).count().withColumnRenamed("count", "__rc")
+    rh = (ref_hist.withColumnRenamed("count", "__rc")
+          if ref_hist is not None
+          else ref.groupBy(key).count().withColumnRenamed("count", "__rc"))
     n = F.ceil(F.col("__sc") * F.col("__rc") / F.lit(target_pairs))
     a = F.ceil(F.sqrt(n * F.col("__sc") / F.col("__rc")))
     a = F.greatest(F.least(a, F.lit(max_splits), F.col("__sc")), F.lit(1))

@@ -278,6 +278,7 @@ def field_candidates(
     residue_rows: int | None = None,
     ref_prepped: DataFrame | None = None,
     ref_rows: int | None = None,
+    ref_hist: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate stage of the field pass: block → per-block grid salting →
     cogrouped Arrow field score (field_cross_score) → global per-record
@@ -311,6 +312,7 @@ def field_candidates(
         s.select("record_id", "__bk", *p_cols),
         r.select("ref_id", "__bk", *r_cols),
         "__bk", blocking.salt_target_pairs_for(s.sparkSession, cfg),
+        ref_hist=ref_hist,
     )
     # flat defaultParallelism, NOT the fuzzy passes' dp*8 over-
     # decomposition: the field scorer's rank-1 accumulation makes
@@ -345,6 +347,7 @@ def field_pass(
     residue_rows: int | None = None,
     ref_prepped: DataFrame | None = None,
     ref_rows: int | None = None,
+    ref_hist: DataFrame | None = None,
 ) -> DataFrame:
     """J4 block → J5 per-field compare → P6 weighted sum → A2 max → D8 →
     D4-D7 verify → W5 best-per-record.  Output schema matches fuzzy_pass
@@ -365,7 +368,8 @@ def field_pass(
     if broadcast_ref is None:
         broadcast_ref = _util.should_broadcast(ref_std, cfg.broadcast_max_bytes)
     shortlist = field_candidates(search_std, ref_std, blocker, cfg,
-                                 residue_rows, ref_prepped, ref_rows)
+                                 residue_rows, ref_prepped, ref_rows,
+                                 ref_hist)
     shortlist = shortlist.join(
         search_std.drop("street_key", "postcode_search"), "record_id"
     )

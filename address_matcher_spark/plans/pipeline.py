@@ -256,10 +256,17 @@ def fuzzy_pass(
     residue_rows: int | None = None,
     ref_prepped: DataFrame | None = None,
     ref_rows: int | None = None,
+    ref_hist: DataFrame | None = None,
 ) -> DataFrame:
     """J1/J2 + P1 + J6 + D1-D7 + P2 + W1: block-join candidates, score with
     the vectorized token_set_ratio UDF, shortlist to per-record max, verify,
-    tie-break, pick best.  Returns one row per attempted search record."""
+    tie-break, pick best.  Returns one row per attempted search record.
+
+    ref_hist: the prep's materialised (__bk, count) histogram — reused
+    across passes by run_waterfall so the salting stats job stops
+    recomputing the ref aggregation (and the prefilter semi-join feeding
+    it) once per pass (round 8; equivalence in
+    blocking.salt_for_cogroup_adaptive)."""
     key = "postcode_search" if blocker == "Postcode" else "street_key"
     s = search_std.filter(F.col(key) != "").withColumnRenamed(key, "__bk")
     # drop the other key col to avoid collisions
@@ -285,6 +292,7 @@ def fuzzy_pass(
         s.select("record_id", "__bk", "search_mod_address"),
         r.select("ref_id", "__bk", "reference_mod_address"),
         "__bk", blocking.salt_target_pairs_for(s.sparkSession, cfg),
+        ref_hist=ref_hist,
     )
     # pin the scoring stage's parallelism with an explicit NUMBERED
     # repartition on the grouping keys: it satisfies the cogroup's
@@ -443,6 +451,7 @@ def run_waterfall(
     materialize_prep = not ref_materialized
     _prep_futs: dict[tuple[str, str], "CFuture"] = {}
     _prep_rows: dict[tuple[str, str], int] = {}
+    _prep_hists: dict[tuple[str, str], DataFrame] = {}
     _prep_lock = _threading.Lock()
 
     def get_prep(level: str, blocker: str, rstd: DataFrame) -> DataFrame:
@@ -471,6 +480,13 @@ def run_waterfall(
                     v = (store.write(v, f"ref_prep_{level}_{blocker}")
                          if store is not None else v.localCheckpoint())
                     _prep_rows[k] = int(obs.get["rows"])
+                    # the prep's block histogram, materialised once and
+                    # reused by every pass's salting stats (round 8) —
+                    # ≤ #blocks rows, one tiny job off the critical path
+                    # (preps are prefetched)
+                    _prep_hists[k] = (
+                        v.groupBy("__bk").count().localCheckpoint()
+                    )
                 if metrics is not None:
                     metrics[f"prep_{level}_{blocker}_sec"] = round(
                         _t() - tp, 3)
@@ -507,10 +523,12 @@ def run_waterfall(
         return out, int(obs.get["won"])
 
     def prep_and_rows(level: str, blocker: str, rstd: DataFrame):
-        # (ref_prepped, ref_rows) for a pass lambda: the observed count
-        # is filled by the get_prep call, so evaluate it first
+        # (ref_prepped, ref_rows, ref_hist) for a pass lambda: the
+        # observed count and histogram are filled by the get_prep call,
+        # so evaluate it first
         v = get_prep(level, blocker, rstd)
-        return v, _prep_rows.get((level, blocker))
+        k = (level, blocker)
+        return v, _prep_rows.get(k), _prep_hists.get(k)
 
     plan = [
         ("fuzzy_min_pc", lambda s, n: fuzzy_pass(s, ref_min, "Postcode", cfg, "fuzzy_min_pc", bc_ref, n, *prep_and_rows("min", "Postcode", ref_min)), search_min),
