@@ -117,9 +117,12 @@ def field_cross_score(
     out_schema = "record_id long, ref_id long, fuzzy_score double"
 
     def _lower(vals) -> np.ndarray:
-        return np.array(
-            ["" if v is None else str(v).lower() for v in vals], dtype=object
-        )
+        # vectorized (round 8): the columns arrive as pandas string
+        # Series; .str.lower over the whole column replaces the
+        # per-row Python loop that ran once per field per group.
+        # Equivalent to '"" if v is None else str(v).lower()' because
+        # the Arrow columns are string-typed (None → NaN → "").
+        return vals.fillna("").str.lower().to_numpy(dtype=object)
 
     def _txt(vals) -> np.ndarray:
         # blank → ' ' so scorers accept them (F10,
